@@ -1,0 +1,179 @@
+"""Batched SQP (BSQP) driver: the full solve as one jitted on-device program.
+
+Re-design of the reference driver BSQP<T,B>::solve (gato/bsqp/bsqp.cuh:103-197).
+Differences forced by TPU-native design:
+  - the reference's per-iteration device->host sync for the convergence check
+    (bsqp.cuh:133-165) becomes a `lax.while_loop` predicate — the entire
+    multi-iteration solve is a single XLA program with no host round trips;
+  - the solve_ratio partial-batch early exit becomes part of the while
+    condition (the exiting iteration skips merit/line-search, matching the
+    reference's `break` placement before the merit kernel).
+
+Per-iteration pipeline (matching bsqp.cuh:121-177):
+  KKT setup -> Schur condensation -> masked batched PCG -> dz recovery ->
+  convergence bookkeeping -> 8-alpha merit sweep -> line search + rho update.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.kkt import setup_kkt
+from ..ops.linesearch import line_search_update
+from ..ops.merit import default_alphas, merit_alphas, merit_value
+from ..ops.pcg import pcg_solve_batched
+from ..ops.schur import build_schur, compute_dz
+from ..robots.model import RobotModel
+from ..ops.cost import CostParams
+from ..ops.integrators import sim_step
+from .types import BSQPSettings, HyperParams, SQPStats
+
+
+def solve_batched(
+    model: RobotModel,
+    settings: BSQPSettings,
+    cp: CostParams,
+    hp: HyperParams,
+    X,  # (B, N, nx)
+    U,  # (B, N-1, nu)
+    lam,  # (B, N, nx) warm-started duals
+    x_s,  # (B, nx) measured initial state
+    ref,  # (B, N, 6) EE reference trajectory
+    f_ext,  # (B, 6) per-lane external wrench hypotheses
+    dt,  # scalar timestep
+):
+    """Run the batched SQP solve. Returns (X, U, lam, hp_out, stats)."""
+    B = X.shape[0]
+    itype = settings.integrator_type
+    alphas = default_alphas(settings.num_alphas, dtype=X.dtype)
+
+    merit_b = jax.vmap(
+        lambda X_, U_, xs_, ref_, fe_, mu_: merit_value(
+            model, cp, X_, U_, xs_, ref_, fe_, mu_, dt, itype
+        )
+    )
+
+    merit0 = merit_b(X, U, x_s, ref, f_ext, hp.mu)  # (B,)
+
+    stats0 = dict(
+        pcg_iters=jnp.zeros((settings.max_sqp_iters, B), dtype=jnp.int32),
+        ls_min_merit=jnp.zeros((settings.max_sqp_iters, B), dtype=X.dtype),
+        ls_step_size=jnp.zeros((settings.max_sqp_iters, B), dtype=X.dtype),
+    )
+
+    def cond(state):
+        it = state["it"]
+        return jnp.logical_and(it < settings.max_sqp_iters, ~state["exit"])
+
+    def body(state):
+        X, U, lam = state["X"], state["U"], state["lam"]
+        rho, drho = state["rho"], state["drho"]
+        converged = state["converged"]
+        it = state["it"]
+
+        kkt = jax.vmap(
+            lambda X_, U_, xs_, ref_, fe_: setup_kkt(
+                model, cp, X_, U_, xs_, ref_, fe_, dt, itype
+            )
+        )(X, U, x_s, ref, f_ext)
+        schur = jax.vmap(lambda k, r: build_schur(k, r, model.nq))(kkt, rho)
+
+        lam, pcg_iters = pcg_solve_batched(
+            schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
+            schur.gamma, lam, hp.pcg_tol, settings.max_pcg_iters,
+            skip=converged,
+        )
+        dZX, dZU, _, _ = jax.vmap(compute_dz)(kkt, schur, lam)
+
+        converged = jnp.logical_or(converged, pcg_iters == 0)
+        num_solved = jnp.sum(converged.astype(jnp.int32))
+        exit_now = num_solved >= B * settings.solve_ratio
+        sqp_iters = state["sqp_iters"] + 1
+
+        stats = state["stats"]
+        stats = dict(
+            stats, pcg_iters=stats["pcg_iters"].at[it].set(pcg_iters)
+        )
+
+        def do_ls(args):
+            X, U, rho, drho, mbase, stats = args
+            merits = jax.vmap(
+                lambda X_, U_, dx_, du_, xs_, ref_, fe_, mu_: merit_alphas(
+                    model, cp, X_, U_, dx_, du_, xs_, ref_, fe_, mu_, dt,
+                    alphas, itype,
+                )
+            )(X, U, dZX, dZU, x_s, ref, f_ext, hp.mu)  # (B, A)
+
+            ls = jax.vmap(
+                lambda m, mb, X_, U_, dx_, du_, r_, dr_: line_search_update(
+                    m, mb, alphas, X_, U_, dx_, du_, r_, dr_,
+                    adapt_rho=settings.adapt_rho,
+                )
+            )(merits, mbase, X, U, dZX, dZU, rho, drho)
+            X, U, mbase, step, rho, drho = ls
+            stats = dict(
+                stats,
+                ls_min_merit=stats["ls_min_merit"].at[it].set(mbase),
+                ls_step_size=stats["ls_step_size"].at[it].set(step),
+            )
+            return X, U, rho, drho, mbase, stats
+
+        X, U, rho, drho, mbase, stats = jax.lax.cond(
+            exit_now,
+            lambda args: args,
+            do_ls,
+            (X, U, rho, drho, state["merit_baseline"], stats),
+        )
+
+        return dict(
+            X=X, U=U, lam=lam, rho=rho, drho=drho,
+            merit_baseline=mbase, converged=converged,
+            sqp_iters=sqp_iters, stats=stats, it=it + 1, exit=exit_now,
+        )
+
+    state = dict(
+        X=X, U=U, lam=lam, rho=hp.rho, drho=hp.drho,
+        merit_baseline=merit0,
+        converged=jnp.zeros(B, dtype=bool),
+        sqp_iters=jnp.zeros(B, dtype=jnp.int32),
+        stats=stats0, it=jnp.int32(0), exit=jnp.asarray(False),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+
+    final_merit = merit_b(
+        state["X"], state["U"], x_s, ref, f_ext, hp.mu
+    )
+
+    # The reference resets drho to its init after every solve (bsqp.cuh:189)
+    # but keeps rho; reset_rho() is an explicit API call.
+    hp_out = HyperParams(rho=state["rho"], drho=hp.drho, mu=hp.mu,
+                         pcg_tol=hp.pcg_tol)
+    stats = SQPStats(
+        sqp_iters=state["sqp_iters"] * jnp.ones(B, dtype=jnp.int32),
+        kkt_converged=state["converged"].astype(jnp.int32),
+        pcg_iters=state["stats"]["pcg_iters"],
+        ls_min_merit=state["stats"]["ls_min_merit"],
+        ls_step_size=state["stats"]["ls_step_size"],
+        initial_merit=merit0,
+        final_merit=final_merit,
+        num_iters_run=state["it"],
+    )
+    return state["X"], state["U"], state["lam"], hp_out, stats
+
+
+def sim_forward_batched(model: RobotModel, x, u, f_ext_B, dt,
+                        integrator_type: int = 2):
+    """One dynamics step of a shared (x, u) under each lane's wrench
+    hypothesis — the force-estimator scoring path
+    (gato/bsqp/kernels/sim.cuh:14-86). Returns (B, nx)."""
+    return jax.vmap(
+        lambda fe: sim_step(model, x, u, dt, fe, integrator_type)
+    )(f_ext_B)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def solve_batched_jit(model, settings, cp, hp, X, U, lam, x_s, ref, f_ext, dt):
+    return solve_batched(model, settings, cp, hp, X, U, lam, x_s, ref, f_ext, dt)

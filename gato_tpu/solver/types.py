@@ -1,0 +1,63 @@
+"""Solver configuration and statistics contracts.
+
+Mirrors the reference's three config tiers (SURVEY.md §5): compile-time
+constants become the static, hashable `BSQPSettings` (drives jit
+specialization the way KNOT_POINTS/BatchSize templates drive nvcc);
+construction-time scalars live in `CostParams`; per-lane batched
+hyperparameters live in `HyperParams` (bsqp.cuh:63-89).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class BSQPSettings:
+    """Static solver configuration (hashable; a jit static argument)."""
+
+    N: int = 32
+    max_sqp_iters: int = 5
+    max_pcg_iters: int = 100
+    solve_ratio: float = 1.0
+    num_alphas: int = 8  # settings.h:15
+    integrator_type: int = 2  # trapezoidal default, integrator.cuh:20
+    adapt_rho: bool = True
+    kkt_tol: float = 1e-4  # accepted for parity; the reference's explicit
+    # KKT-tolerance exit is disabled in its driver (bsqp.cuh:153 comment)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HyperParams:
+    """Per-lane batched hyperparameters (shape (B,) each)."""
+
+    rho: jax.Array
+    drho: jax.Array
+    mu: jax.Array
+    pcg_tol: jax.Array
+
+    @staticmethod
+    def create(batch_size: int, rho=1e-3, mu=10.0, pcg_tol=1e-5, dtype=jnp.float32):
+        full = lambda v: jnp.full((batch_size,), v, dtype=dtype)
+        return HyperParams(rho=full(rho), drho=full(1.0), mu=full(mu),
+                           pcg_tol=full(pcg_tol))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SQPStats:
+    """Per-solve statistics, the pytree analogue of SQPStats
+    (gato/types.cuh:46-59 -> bindings.cu:96-147)."""
+
+    sqp_iters: jax.Array  # (B,) int32
+    kkt_converged: jax.Array  # (B,) int32
+    pcg_iters: jax.Array  # (max_sqp_iters, B) int32
+    ls_min_merit: jax.Array  # (max_sqp_iters, B)
+    ls_step_size: jax.Array  # (max_sqp_iters, B)
+    initial_merit: jax.Array  # (B,) merit of the warm start
+    final_merit: jax.Array  # (B,) merit of the returned trajectory
+    num_iters_run: jax.Array  # () int32: SQP iterations actually executed
