@@ -1,0 +1,121 @@
+"""Headline benchmark: batched BSQP solve throughput on one TPU chip.
+
+Workload matches the reference's heatmap benchmark (examples/benchmark_fig8.py
+:80-105 / BASELINE.md): indy7 figure-8 tracking MPC step, DEFAULT solver
+params (max_sqp_iters=1, max_pcg_iters=200, dt=0.01), batched solve latency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric: solves/s at N=32, B=512 (reference: 512 / 2.84 ms ~= 180282
+solves/s on its desktop GPU; BASELINE.json floor is 1,000 solves/s per chip).
+Pass --grid to print the full (N x B) latency table like the reference
+heatmap instead.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_SOLVES_PER_S = 512 / 2.84e-3  # BASELINE.md N=32, B=512
+
+# Reference heatmap (ms) for vs_baseline on --grid runs (BASELINE.md)
+REFERENCE_MS = {
+    (8, 1): 0.09, (8, 32): 0.10, (8, 128): 0.15, (8, 512): 0.58,
+    (16, 1): 0.10, (16, 32): 0.12, (16, 128): 0.31, (16, 512): 1.37,
+    (32, 1): 0.10, (32, 32): 0.17, (32, 128): 0.65, (32, 512): 2.84,
+    (64, 1): 0.12, (64, 32): 0.37, (64, 128): 1.48, (64, 512): 7.76,
+    (128, 1): 0.16, (128, 32): 0.93, (128, 128): 3.15, (128, 512): 19.98,
+}
+
+
+def bench_solve(N, B, reps=20, warmup=3, plant="indy7"):
+    import jax
+    import jax.numpy as jnp
+
+    from gato_tpu.api.common import figure8
+    from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS, INDY7_START_CONFIGS
+    from gato_tpu.ops.cost import CostParams
+    from gato_tpu.robots.model import load_robot
+    from gato_tpu.solver.bsqp import solve_batched_jit
+    from gato_tpu.solver.types import BSQPSettings, HyperParams
+
+    p = DEFAULT_SOLVER_PARAMS
+    model = load_robot(plant)
+    nx, nu = model.nx, model.nu
+    settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
+                            max_pcg_iters=p["max_pcg_iters"])
+    cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
+                           u_cost=p["u_cost"], N_cost=p["N_cost"],
+                           q_lim_cost=p["q_lim_cost"])
+    hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"], pcg_tol=p["pcg_tol"])
+
+    dt = 0.01
+    traj = figure8(dt).reshape(-1, 6)
+    q0 = INDY7_START_CONFIGS["ready"] if plant == "indy7" else np.zeros(model.nq)
+    x0 = np.concatenate([q0, np.zeros(model.nq)]).astype(np.float32)
+
+    X = jnp.asarray(np.tile(x0, (B, N, 1)))
+    U = jnp.zeros((B, N - 1, nu), jnp.float32)
+    lam = jnp.zeros((B, N, nx), jnp.float32)
+    x_s = jnp.asarray(np.tile(x0, (B, 1)))
+    ref = jnp.asarray(np.tile(traj[:N], (B, 1, 1)).astype(np.float32))
+    f_ext = jnp.zeros((B, 6), jnp.float32)
+    dtj = jnp.float32(dt)
+
+    def run():
+        Xo, Uo, lam_o, hp_o, stats = solve_batched_jit(
+            model, settings, cp, hp, X, U, lam, x_s, ref, f_ext, dtj
+        )
+        jax.block_until_ready(Xo)
+        return Xo
+
+    for _ in range(warmup):
+        run()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.mean(times)), float(np.min(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--N", type=int, default=32)
+    ap.add_argument("--B", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--grid", action="store_true",
+                    help="full heatmap grid instead of the headline point")
+    args = ap.parse_args()
+
+    if args.grid:
+        rows = {}
+        for N in (8, 16, 32, 64, 128):
+            for B in (1, 32, 128, 512):
+                mean_s, min_s = bench_solve(N, B, reps=max(5, args.reps // 2))
+                ref = REFERENCE_MS.get((N, B))
+                rows[f"N{N}_B{B}"] = {
+                    "ms": round(mean_s * 1e3, 3),
+                    "vs_ref": round(ref / (mean_s * 1e3), 3) if ref else None,
+                }
+                print(f"N={N} B={B}: {mean_s*1e3:.3f} ms"
+                      + (f" (ref {ref} ms)" if ref else ""))
+        print(json.dumps({"metric": "bsqp_grid", "value": rows,
+                          "unit": "ms", "vs_baseline": None}))
+        return
+
+    mean_s, min_s = bench_solve(args.N, args.B, reps=args.reps)
+    solves_per_s = args.B / mean_s
+    print(json.dumps({
+        "metric": f"indy7_N{args.N}_B{args.B}_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""BSQP solver facade: the user-facing API, surface-compatible with the
+reference's Python interface (python/bsqp/interface.py).
+
+Where the reference dynamically imports a per-(N, plant) compiled module and
+looks up a per-batch-size class (interface.py:44-59), here the same
+specialization happens through jit: (plant, N, B, max iters) select a compiled
+XLA program, cached per shape. Stats keys match bindings.cu:96-147 /
+interface.py:97-208.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dynamics.algorithms import ee_position as _ee_position
+from ..ops.cost import CostParams
+from ..robots.model import RobotModel, load_robot
+from ..solver.bsqp import solve_batched_jit, sim_forward_batched
+from ..solver.types import BSQPSettings, HyperParams
+
+
+class BSQP:
+    """Batched SQP solver for EE-tracking MPC.
+
+    Matches the reference constructor signature (interface.py:7-32); accepts
+    either a URDF path or a built-in plant name for `model_path`.
+    """
+
+    def __init__(
+        self,
+        model_path=None,
+        batch_size=1,
+        N=32,
+        dt=0.01,
+        max_sqp_iters=10,
+        kkt_tol=1e-4,
+        max_pcg_iters=100,
+        pcg_tol=1e-4,
+        solve_ratio=1.0,
+        mu=1.0,
+        q_cost=2.0,
+        qd_cost=1e-4,
+        u_cost=1e-6,
+        N_cost=50.0,
+        q_lim_cost=1e-3,
+        vel_lim_cost=0.0,
+        ctrl_lim_cost=0.0,
+        rho=0.0,
+        rho_batch=None,
+        mu_batch=None,
+        pcg_tol_batch=None,
+        adapt_rho=True,
+        plant_type="indy7",
+        f_ext_in_ee_frame=True,
+    ):
+        if plant_type is None:
+            plant_type = "iiwa14" if (model_path and "iiwa" in str(model_path).lower()) else "indy7"
+        self.plant_type = plant_type
+        source = model_path if model_path else plant_type
+        # built-in names win over paths for the two bundled plants
+        if plant_type in ("indy7", "iiwa14") and model_path is None:
+            source = plant_type
+        try:
+            self.model: RobotModel = load_robot(source)
+        except FileNotFoundError:
+            self.model = load_robot(plant_type)
+
+        self.batch_size = int(batch_size)
+        self.N = int(N)
+        self.dt = float(dt)
+        self.nq = self.model.nq
+        self.nv = self.model.nv
+        self.nx = self.model.nx
+        self.nu = self.model.nu
+
+        self.settings = BSQPSettings(
+            N=self.N,
+            max_sqp_iters=int(max_sqp_iters),
+            max_pcg_iters=int(max_pcg_iters),
+            solve_ratio=float(solve_ratio),
+            adapt_rho=bool(adapt_rho),
+            kkt_tol=float(kkt_tol),
+        )
+        self.cost_params = CostParams.create(
+            q_cost=q_cost, qd_cost=qd_cost, u_cost=u_cost, N_cost=N_cost,
+            q_lim_cost=q_lim_cost, vel_lim_cost=vel_lim_cost,
+            ctrl_lim_cost=ctrl_lim_cost,
+        )
+        B = self.batch_size
+        self._hp_init = HyperParams.create(B, rho=rho, mu=mu, pcg_tol=pcg_tol)
+        if rho_batch is not None:
+            arr = jnp.asarray(np.asarray(rho_batch, np.float32).reshape(B))
+            self._hp_init = HyperParams(arr, self._hp_init.drho, self._hp_init.mu,
+                                        self._hp_init.pcg_tol)
+        if mu_batch is not None:
+            arr = jnp.asarray(np.asarray(mu_batch, np.float32).reshape(B))
+            self._hp_init = HyperParams(self._hp_init.rho, self._hp_init.drho,
+                                        arr, self._hp_init.pcg_tol)
+        if pcg_tol_batch is not None:
+            arr = jnp.asarray(np.asarray(pcg_tol_batch, np.float32).reshape(B))
+            self._hp_init = HyperParams(self._hp_init.rho, self._hp_init.drho,
+                                        self._hp_init.mu, arr)
+        self.hp = self._hp_init
+
+        self.lam = jnp.zeros((B, self.N, self.nx), jnp.float32)
+        self.f_ext_B = jnp.zeros((B, 6), jnp.float32)
+        self._f_ext_in_ee_frame = f_ext_in_ee_frame
+
+        self.XU_B = np.zeros((B, self.N * (self.nx + self.nu) - self.nu),
+                             dtype=np.float32)
+        self.stats = {}
+
+    # ---- trajectory layout helpers (reference flat XU layout,
+    # constants.h:22: [x_0, u_0, x_1, u_1, ..., x_{N-1}]) ----
+
+    def _unflatten(self, XU_B):
+        B, N, nx, nu = self.batch_size, self.N, self.nx, self.nu
+        XU = XU_B.reshape(B, -1)
+        stride = nx + nu
+        pad = np.zeros((B, nu), dtype=XU.dtype)
+        full = np.concatenate([XU, pad], axis=1).reshape(B, N, stride)
+        X = full[:, :, :nx]
+        U = full[:, :-1, nx:]
+        return jnp.asarray(X, jnp.float32), jnp.asarray(U, jnp.float32)
+
+    def _flatten(self, X, U):
+        B, N, nx, nu = self.batch_size, self.N, self.nx, self.nu
+        X = np.asarray(X, np.float32)
+        U = np.asarray(U, np.float32)
+        full = np.concatenate(
+            [X, np.concatenate([U, np.zeros((B, 1, nu), np.float32)], axis=1)],
+            axis=2,
+        ).reshape(B, N * (nx + nu))
+        return full[:, : N * (nx + nu) - nu]
+
+    # ---- main entry points ----
+
+    def solve(self, xcur_B, eepos_goals_B, XU_B=None):
+        """One batched BSQP solve (interface.py:122-210). Returns
+        (XU_B, solve_time_us) and fills `self.stats`."""
+        B = self.batch_size
+        xcur_B = np.asarray(xcur_B, np.float32).reshape(B, self.nx)
+        ref = np.asarray(eepos_goals_B, np.float32).reshape(B, self.N, 6)
+        if XU_B is None:
+            XU_B = self.XU_B
+        XU_B = np.asarray(XU_B, np.float32).reshape(B, -1).copy()
+        XU_B[:, : self.nx] = xcur_B  # pin warm start to measured state
+
+        X, U = self._unflatten(XU_B)
+        t0 = time.perf_counter()
+        Xo, Uo, lam, hp, st = solve_batched_jit(
+            self.model, self.settings, self.cost_params, self.hp,
+            X, U, self.lam, jnp.asarray(xcur_B), jnp.asarray(ref),
+            self.f_ext_B, jnp.float32(self.dt),
+        )
+        jax.block_until_ready(Xo)
+        solve_time_us = int((time.perf_counter() - t0) * 1e6)
+
+        self.lam = lam
+        self.hp = hp
+        self.XU_B = self._flatten(Xo, Uo)
+
+        n_run = int(st.num_iters_run)
+        pcg_iters = np.asarray(st.pcg_iters)[:n_run]
+        min_merit = np.asarray(st.ls_min_merit)[:n_run]
+        step_size = np.asarray(st.ls_step_size)[:n_run]
+        initial_merit = np.asarray(st.initial_merit)
+        self.stats = {
+            "sqp_time_us": solve_time_us,
+            "sqp_iters": np.asarray(st.sqp_iters, np.int32),
+            "kkt_converged": np.asarray(st.kkt_converged, np.int32),
+            "final_merit": np.asarray(st.final_merit, np.float32),
+            "initial_merit": initial_merit.astype(np.float32),
+            "best_initial_merit": float(initial_merit.min()) if initial_merit.size else np.array([]),
+            "ls_num_iters": n_run,
+            "pcg_iters": pcg_iters.astype(np.int32),
+            "pcg_times_us": np.zeros(n_run, np.float32),
+            "min_merit": min_merit.astype(np.float32),
+            "step_size": step_size.astype(np.float32),
+        }
+        best_per_iter = min_merit.min(axis=1) if min_merit.size else np.array([], np.float32)
+        self.stats["best_merit_per_iter"] = best_per_iter
+        self.stats["best_merit_iter1"] = float(best_per_iter[0]) if best_per_iter.size else float("nan")
+        denom = self.stats["best_initial_merit"]
+        if np.size(denom) and denom:
+            self.stats["best_merit_per_iter_normalized"] = best_per_iter / float(denom)
+        else:
+            self.stats["best_merit_per_iter_normalized"] = best_per_iter
+        return self.XU_B, solve_time_us
+
+    def sim_forward(self, xk, uk, sim_dt):
+        """Batched one-step rollout of (xk, uk) under each lane's f_ext
+        hypothesis (interface.py:221-224)."""
+        xk = jnp.asarray(np.asarray(xk, np.float32).reshape(self.nx))
+        uk = jnp.asarray(np.asarray(uk, np.float32).reshape(self.nu))
+        out = sim_forward_batched(self.model, xk, uk, self.f_ext_B,
+                                  jnp.float32(sim_dt))
+        return np.asarray(out)
+
+    def ee_pos(self, q):
+        """EE position via the framework's own FK (the reference used
+        Pinocchio here, interface.py:212-214)."""
+        q = jnp.asarray(np.asarray(q, np.float32).reshape(self.nq))
+        return np.asarray(_ee_position(self.model, q)[:3])
+
+    # ---- state management (interface.py:216-234) ----
+
+    def set_f_ext_B(self, f_ext_B):
+        self.f_ext_B = jnp.asarray(
+            np.asarray(f_ext_B, np.float32).reshape(self.batch_size, 6)
+        )
+
+    def reset_rho(self):
+        self.hp = HyperParams(self._hp_init.rho, self._hp_init.drho,
+                              self.hp.mu, self.hp.pcg_tol)
+
+    def reset_dual(self):
+        self.lam = jnp.zeros_like(self.lam)
+
+    def reset(self):
+        self.reset_dual()
+        self.set_f_ext_B(np.zeros((self.batch_size, 6)))
+        self.XU_B = np.zeros_like(self.XU_B)
+
+    def get_stats(self):
+        return self.stats

@@ -1,0 +1,416 @@
+"""Closed-loop MPC layer: figure-8 tracking, goal sequences, batched
+force-hypothesis selection, and pendulum-payload robustness experiments.
+
+Re-design of python/bsqp/mpc_controller.py (MPC_GATO). Differences from the
+reference, forced by the TPU-native stack:
+  - the simulator is the framework's own JAX RK4 dynamics instead of
+    Pinocchio (common.py:49-91 -> api/common.rk4_step); the pendulum payload
+    is modeled as a 3-revolute (x,y,z) gimbal at the EE instead of a
+    Pinocchio spherical joint — equivalent dynamics away from gimbal lock;
+  - external wrenches are specified in the world frame and re-expressed in
+    the EE link frame each step (physically constant disturbance), rather
+    than the reference's constant-in-local-frame pin.Force.
+
+Real-time emulation matches the reference (mpc_controller.py:189-216): the
+simulation advances by the measured wall-clock solve time each MPC cycle,
+stepping controls along the current plan.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..robots.model import RobotModel
+from .common import figure8, rk4_step, world_wrench_to_ee_frame
+from .config import DEFAULT_SOLVER_PARAMS
+from .force_estimator import ForceEstimator
+from .interface import BSQP
+
+
+def add_pendulum(model: RobotModel, mass=15.0, length=0.3):
+    """Append a spherical-pendulum payload as a 3-revolute gimbal at the EE
+    (mirrors _add_pendulum_to_model, mpc_controller.py:340-359; sim model
+    only — the solver keeps the robot-only model)."""
+    import numpy as onp
+
+    dtype = np.float32
+    eye = onp.eye(3, dtype=dtype)
+    zeros3 = onp.zeros(3, dtype=dtype)
+    axes = onp.stack([eye[0], eye[1], eye[2]])  # x, y, z gimbal
+    R_tree = onp.tile(eye, (3, 1, 1))
+    p_tree = onp.tile(zeros3, (3, 1))
+
+    from ..robots.urdf import spatial_inertia
+
+    bob = spatial_inertia(mass, onp.array([0.0, 0.0, -length]),
+                          onp.diag([1e-3, 1e-3, 1e-3]))
+    inertias = onp.stack([onp.zeros((6, 6)), onp.zeros((6, 6)), bob])
+
+    wide = onp.tile(onp.array([-1e3, 1e3], dtype=dtype), (3, 1))
+    cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b, a.dtype)], axis=0)
+    return RobotModel(
+        R_tree=cat(model.R_tree, R_tree),
+        p_tree=cat(model.p_tree, p_tree),
+        axis=cat(model.axis, axes),
+        inertia=cat(model.inertia, inertias),
+        joint_limits=cat(model.joint_limits, wide),
+        velocity_limits=cat(model.velocity_limits, wide),
+        effort_limits=cat(model.effort_limits, wide),
+        R_ee=model.R_ee, p_ee=model.p_ee, gravity=model.gravity,
+    )
+
+
+class MPC_GATO:
+    """Closed-loop MPC controller (mpc_controller.py:17-599 analogue)."""
+
+    def __init__(
+        self,
+        model=None,
+        model_path=None,
+        N=32,
+        dt=0.03125,
+        batch_size=1,
+        constant_f_ext=None,
+        track_full_stats=False,
+        plant_type="indy7",
+        pendulum_config=None,
+        solver_params=None,
+        realtime=False,
+        seed=0,
+    ):
+        """`realtime=False` (default) advances the sim by `dt` per MPC step —
+        deterministic and hardware-independent; `realtime=True` reproduces the
+        reference's wall-clock emulation."""
+        solver_cfg = dict(DEFAULT_SOLVER_PARAMS)
+        if solver_params:
+            solver_cfg.update(solver_params)
+
+        self.solver = BSQP(
+            model_path=model_path, batch_size=batch_size, N=N, dt=dt,
+            plant_type=plant_type,
+            max_sqp_iters=solver_cfg["max_sqp_iters"],
+            kkt_tol=solver_cfg["kkt_tol"],
+            max_pcg_iters=solver_cfg["max_pcg_iters"],
+            pcg_tol=solver_cfg["pcg_tol"],
+            solve_ratio=solver_cfg["solve_ratio"],
+            mu=solver_cfg["mu"],
+            q_cost=solver_cfg["q_cost"],
+            qd_cost=solver_cfg["qd_cost"],
+            u_cost=solver_cfg["u_cost"],
+            N_cost=solver_cfg["N_cost"],
+            q_lim_cost=solver_cfg["q_lim_cost"],
+            vel_lim_cost=solver_cfg["vel_lim_cost"],
+            ctrl_lim_cost=solver_cfg["ctrl_lim_cost"],
+            rho=solver_cfg["rho"],
+        )
+        self.solver_params = solver_cfg
+        self.solver_model = self.solver.model
+
+        self.pendulum_config = pendulum_config
+        self.has_pendulum = pendulum_config is not None
+        if self.has_pendulum:
+            self.sim_model = add_pendulum(
+                self.solver_model,
+                mass=pendulum_config.get("mass", 15.0),
+                length=pendulum_config.get("length", 0.3),
+            )
+        else:
+            self.sim_model = self.solver_model
+
+        self.nq_robot = self.solver_model.nq
+        self.nv_robot = self.solver_model.nv
+        self.nq_sim = self.sim_model.nq
+        self.nx = self.solver.nx
+        self.nu = self.solver.nu
+        self.N = N
+        self.dt = dt
+        self.batch_size = batch_size
+        self.track_full_stats = track_full_stats
+        self.realtime = realtime
+        self.rng = np.random.default_rng(seed)
+
+        self.constant_f_ext_world = (
+            np.asarray(constant_f_ext, np.float32)
+            if constant_f_ext is not None else np.zeros(6, np.float32)
+        )
+        self._sim_fext = (
+            jnp.asarray(self.constant_f_ext_world)
+            if np.any(self.constant_f_ext_world) else None
+        )
+
+        if batch_size > 1:
+            self.force_estimator = ForceEstimator(
+                batch_size=batch_size, initial_radius=5.0, min_radius=2.0,
+                max_radius=20.0, smoothing_factor=0.5, seed=seed,
+            )
+        else:
+            self.force_estimator = None
+
+        # jitted simulator step specialized per sim model
+        self._sim_step = jax.jit(
+            lambda x, u, h: rk4_step(self.sim_model, x, u, h,
+                                     f_ext_world=self._sim_fext)
+        )
+
+    # ---- helpers ----
+
+    def _sim_control(self, u_robot, xsim):
+        """Augment robot torques with pendulum damping (mpc_controller.py:472-479)."""
+        if not self.has_pendulum:
+            return u_robot
+        damping = self.pendulum_config.get("damping", 0.4)
+        qd_pend = xsim[self.nq_sim + self.nv_robot:]
+        return jnp.concatenate([u_robot, -damping * qd_pend])
+
+    def _robot_state(self, xsim):
+        q = xsim[: self.nq_robot]
+        dq = xsim[self.nq_sim: self.nq_sim + self.nv_robot]
+        return np.concatenate([np.asarray(q), np.asarray(dq)])
+
+    def _initial_sim_state(self, x_start):
+        if not self.has_pendulum:
+            return jnp.asarray(x_start, jnp.float32)
+        nqs, nvs = self.nq_sim, self.sim_model.nv
+        x = np.zeros(nqs + nvs, np.float32)
+        x[: self.nq_robot] = x_start[: self.nq_robot]
+        init = self.pendulum_config.get("initial_angle", np.array([0.3, 0.0, 0.0]))
+        x[self.nq_robot: self.nq_robot + 3] = init
+        x[nqs: nqs + self.nv_robot] = x_start[self.nq_robot:]
+        return jnp.asarray(x)
+
+    def update_force_batch(self, q):
+        """Generate wrench hypotheses and hand them to the solver in the EE
+        frame (mpc_controller.py:279-292)."""
+        if self.batch_size == 1 or self.force_estimator is None:
+            return
+        batch = self.force_estimator.generate_batch()
+        out = np.zeros_like(batch)
+        for i in range(self.batch_size):
+            out[i] = self.transform_force_to_gato_frame(q, batch[i])
+        self.solver.set_f_ext_B(out)
+
+    def transform_force_to_gato_frame(self, q, f_world):
+        """World wrench -> the solver's EE-frame [n; f] spatial force
+        (mpc_controller.py:311-338 analogue, via our own FK)."""
+        w = world_wrench_to_ee_frame(
+            self.solver_model, jnp.asarray(q[: self.nq_robot], jnp.float32),
+            jnp.asarray(f_world, jnp.float32),
+        )
+        return np.asarray(w)
+
+    def evaluate_best_trajectory(self, x_last, u_last, x_curr, dt):
+        """Pick the hypothesis whose one-step rollout best matches the
+        measured state (mpc_controller.py:294-309)."""
+        if self.batch_size == 1 or self.force_estimator is None:
+            return 0
+        x_next = self.solver.sim_forward(x_last, u_last, dt)
+        errors = np.linalg.norm(x_next - np.asarray(x_curr)[None, :], axis=1)
+        best = int(np.argmin(errors))
+        self.force_estimator.update(best, errors, alpha=0.6, beta=0.5)
+        return best
+
+    def _simulate(self, xsim, XU_best, timestep, sim_dt):
+        """Advance the sim by `timestep`, stepping controls along the plan."""
+        nsteps = max(1, int(round(timestep / sim_dt)))
+        for i in range(nsteps):
+            offset = int(i / (self.dt / sim_dt))
+            u_idx = self.nx + (self.nx + self.nu) * min(offset, self.N - 1)
+            u = jnp.asarray(XU_best[u_idx: u_idx + self.nu])
+            xsim = self._sim_step(xsim, self._sim_control(u, xsim),
+                                  jnp.float32(sim_dt))
+        return xsim, nsteps * sim_dt
+
+    # ---- main entry points ----
+
+    def run_mpc_fig8(self, x_start, fig8_traj, sim_dt=0.001, sim_time=5.0):
+        """Figure-8 tracking MPC (mpc_controller.py:136-277). Returns
+        (None, stats) like the reference."""
+        stats = {
+            "timestamps": [], "solve_times": [], "goal_distances": [],
+            "ee_actual": [], "joint_positions": [], "joint_velocities": [],
+        }
+        if self.track_full_stats:
+            stats["sqp_iters"] = []
+
+        fig8_traj = np.asarray(fig8_traj, np.float32).reshape(-1)
+        B, N = self.batch_size, self.N
+        total_sim_time = 0.0
+
+        xsim = self._initial_sim_state(np.asarray(x_start, np.float32))
+        x_curr = self._robot_state(xsim)
+
+        ee_g = fig8_traj[: 6 * N]
+        ee_g_batch = np.tile(ee_g, (B, 1))
+        XU = np.zeros(N * (self.nx + self.nu) - self.nu, np.float32)
+        for i in range(N):
+            XU[i * (self.nx + self.nu): i * (self.nx + self.nu) + self.nx] = x_curr
+        XU_batch = np.tile(XU, (B, 1))
+
+        self.solver.reset_dual()
+        self.update_force_batch(x_curr[: self.nq_robot])
+        XU_batch, _ = self.solver.solve(np.tile(x_curr, (B, 1)), ee_g_batch, XU_batch)
+        XU_best = XU_batch[0]
+
+        solve_time = self.dt
+        while total_sim_time < sim_time:
+            x_last = x_curr
+            u_last = XU_best[self.nx: self.nx + self.nu]
+
+            timestep = solve_time if self.realtime else self.dt
+            xsim, advanced = self._simulate(xsim, XU_best, timestep, sim_dt)
+            total_sim_time += advanced
+            x_curr = self._robot_state(xsim)
+
+            eepos_offset = int(total_sim_time / self.dt)
+            if eepos_offset >= len(fig8_traj) / 6 - 6 * N:
+                break
+
+            ee_g = fig8_traj[6 * eepos_offset: 6 * (eepos_offset + N)]
+            ee_g_batch[:, :] = ee_g
+            XU_batch[:, : self.nx] = x_curr
+
+            self.update_force_batch(x_curr[: self.nq_robot])
+            self.solver.reset_rho()
+            t0 = time.perf_counter()
+            XU_batch_new, gpu_us = self.solver.solve(
+                np.tile(x_curr, (B, 1)), ee_g_batch, XU_batch
+            )
+            solve_time = time.perf_counter() - t0
+
+            best = self.evaluate_best_trajectory(
+                x_last, u_last, x_curr,
+                max(sim_dt, round(timestep / sim_dt) * sim_dt),
+            )
+            XU_best = XU_batch_new[best]
+            XU_batch[:, :] = XU_best
+
+            ee = self.solver.ee_pos(x_curr[: self.nq_robot])
+            stats["timestamps"].append(total_sim_time)
+            stats["solve_times"].append(gpu_us / 1000.0)
+            stats["goal_distances"].append(float(np.linalg.norm(ee - ee_g[6:9])))
+            stats["ee_actual"].append(ee.copy())
+            stats["joint_positions"].append(x_curr[: self.nq_robot].copy())
+            stats["joint_velocities"].append(x_curr[self.nq_robot:].copy())
+            if self.track_full_stats:
+                stats["sqp_iters"].append(int(self.solver.stats["sqp_iters"][0]))
+
+        for k in stats:
+            if isinstance(stats[k], list) and stats[k]:
+                stats[k] = np.array(stats[k])
+        if len(np.atleast_1d(stats["goal_distances"])):
+            print(f"Avg error: {np.mean(stats['goal_distances']):.4f}m")
+            print(f"Avg solve time: {np.mean(stats['solve_times']):.3f}ms")
+        return None, stats
+
+    def run_mpc_goals(self, x_start, goals, sim_dt=0.001, goal_timeout=5.0,
+                      goal_threshold=0.05, velocity_threshold=1.0):
+        """Waypoint-sequence MPC with reached/timeout outcomes
+        (mpc_controller.py:361-599)."""
+        B, N = self.batch_size, self.N
+        stats = {
+            "timestamps": [], "solve_times": [], "goal_distances": [],
+            "ee_actual": [], "joint_positions": [], "joint_velocities": [],
+            "best_trajectory_id": [],
+            "goal_outcomes": ["not_reached"] * len(goals),
+            "goal_reached_times": [None] * len(goals),
+            "time_to_all_reached": None,
+        }
+        if self.track_full_stats:
+            stats["sqp_iters"] = []
+            stats["pcg_iters"] = []
+
+        total_sim_time = 0.0
+        xsim = self._initial_sim_state(np.asarray(x_start, np.float32))
+        x_curr = self._robot_state(xsim)
+
+        goal_idx = 0
+        goal = np.asarray(goals[goal_idx], np.float32)
+        ee_g = np.tile(np.concatenate([goal, np.zeros(3, np.float32)]), N)
+        ee_g_batch = np.tile(ee_g, (B, 1))
+
+        XU = np.zeros(N * (self.nx + self.nu) - self.nu, np.float32)
+        for i in range(N):
+            XU[i * (self.nx + self.nu): i * (self.nx + self.nu) + self.nx] = x_curr
+        XU_batch = np.tile(XU, (B, 1))
+        self.solver.reset_dual()
+        self.update_force_batch(x_curr[: self.nq_robot])
+        XU_batch, _ = self.solver.solve(np.tile(x_curr, (B, 1)), ee_g_batch, XU_batch)
+        XU_best = XU_batch[0]
+
+        goal_start_time = total_sim_time
+        solve_time = self.dt
+        while total_sim_time < goal_timeout * len(goals):
+            x_last = x_curr
+            u_last = XU_best[self.nx: self.nx + self.nu]
+
+            timestep = solve_time if self.realtime else self.dt
+            xsim, advanced = self._simulate(xsim, XU_best, timestep, sim_dt)
+            total_sim_time += advanced
+            x_curr = self._robot_state(xsim)
+
+            ee = self.solver.ee_pos(x_curr[: self.nq_robot])
+            dist = float(np.linalg.norm(ee - goal))
+            vel = float(np.linalg.norm(x_curr[self.nq_robot:], ord=1))
+            reached = dist < goal_threshold and vel < velocity_threshold
+            timeout = (total_sim_time - goal_start_time) >= goal_timeout
+
+            if reached or timeout:
+                stats["goal_outcomes"][goal_idx] = "reached" if reached else "timeout"
+                if reached:
+                    stats["goal_reached_times"][goal_idx] = total_sim_time
+                goal_idx += 1
+                if goal_idx >= len(goals):
+                    break
+                goal = np.asarray(goals[goal_idx], np.float32)
+                ee_g = np.tile(np.concatenate([goal, np.zeros(3, np.float32)]), N)
+                goal_start_time = total_sim_time
+                self.solver.reset_rho()
+
+            ee_g_batch[:, :] = ee_g
+            XU_batch[:, : self.nx] = x_curr
+            self.update_force_batch(x_curr[: self.nq_robot])
+            self.solver.reset_rho()
+            t0 = time.perf_counter()
+            XU_batch_new, gpu_us = self.solver.solve(
+                np.tile(x_curr, (B, 1)), ee_g_batch, XU_batch
+            )
+            solve_time = time.perf_counter() - t0
+
+            best = self.evaluate_best_trajectory(
+                x_last, u_last, x_curr,
+                max(sim_dt, round(timestep / sim_dt) * sim_dt),
+            )
+            XU_best = XU_batch_new[best]
+            XU_batch[:, :] = XU_best
+
+            stats["timestamps"].append(total_sim_time)
+            stats["solve_times"].append(gpu_us / 1000.0)
+            stats["goal_distances"].append(dist)
+            stats["ee_actual"].append(ee.copy())
+            stats["joint_positions"].append(x_curr[: self.nq_robot].copy())
+            stats["joint_velocities"].append(x_curr[self.nq_robot:].copy())
+            stats["best_trajectory_id"].append(best)
+            if self.track_full_stats:
+                stats["sqp_iters"].append(int(self.solver.stats["sqp_iters"][0]))
+                pcg = self.solver.stats.get("pcg_iters", np.zeros((0, 0)))
+                stats["pcg_iters"].append(int(pcg[0, 0]) if pcg.size else 0)
+
+        for k, v in stats.items():
+            if isinstance(v, list) and v and k not in (
+                "goal_outcomes", "goal_reached_times", "time_to_all_reached",
+            ):
+                try:
+                    stats[k] = np.array(v)
+                except (ValueError, TypeError):
+                    pass
+        if all(o == "reached" for o in stats["goal_outcomes"]):
+            ts = [t for t in stats["goal_reached_times"] if t is not None]
+            if len(ts) == len(goals):
+                stats["time_to_all_reached"] = float(np.max(ts))
+        reached_n = sum(1 for o in stats["goal_outcomes"] if o == "reached")
+        print(f"Goals reached: {reached_n}/{len(goals)}")
+        return None, stats

@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.batch_linalg import chol_factor, chol_solve
 from ..robots.model import RobotModel
 from .spatial import crf, crm, imul, rodrigues, skew, xf_apply_T, xm_apply
 
@@ -145,7 +146,7 @@ def crba(model: RobotModel, q):
 
 
 def mass_matrix_cholesky(model: RobotModel, q):
-    return jnp.linalg.cholesky(crba(model, q))
+    return chol_factor(crba(model, q))
 
 
 def fd(model: RobotModel, q, qd, tau, f_ext=None):
@@ -154,7 +155,7 @@ def fd(model: RobotModel, q, qd, tau, f_ext=None):
     (indy7_plant.cuh:150-173)."""
     c = rnea(model, q, qd, jnp.zeros_like(q), f_ext=f_ext)
     L = mass_matrix_cholesky(model, q)
-    return jax.scipy.linalg.cho_solve((L, True), tau - c)
+    return chol_solve(L, tau - c)
 
 
 def fd_and_grad(model: RobotModel, q, qd, tau, f_ext=None):
@@ -168,12 +169,12 @@ def fd_and_grad(model: RobotModel, q, qd, tau, f_ext=None):
     """
     c = rnea(model, q, qd, jnp.zeros_like(q), f_ext=f_ext)
     L = mass_matrix_cholesky(model, q)
-    qdd = jax.scipy.linalg.cho_solve((L, True), tau - c)
+    qdd = chol_solve(L, tau - c)
 
     did_dq, did_dqd = jax.jacfwd(
         lambda q_, qd_: rnea(model, q_, qd_, qdd, f_ext=f_ext), argnums=(0, 1)
     )(q, qd)
-    Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(model.nq, dtype=q.dtype))
+    Minv = chol_solve(L, jnp.eye(model.nq, dtype=q.dtype))
     dqdd_dq = -(Minv @ did_dq)
     dqdd_dqd = -(Minv @ did_dqd)
     return qdd, dqdd_dq, dqdd_dqd, Minv

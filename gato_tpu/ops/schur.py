@@ -32,6 +32,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from .batch_linalg import block_qinv, diag_inv, gj_inv
 from .kkt import KKTSystem
 
 RHO_INIT = 1e-3  # settings.h:18
@@ -50,8 +51,8 @@ class SchurSystem:
     S_main: jax.Array  # (N, nx, nx)
     S_lower: jax.Array  # (N-1, nx, nx)  block (k+1, k); upper is its transpose
     gamma: jax.Array  # (N, nx)
-    P_main: jax.Array  # (N, nx, nx)
-    P_lower: jax.Array  # (N-1, nx, nx)
+    P_main: jax.Array | None  # (N, nx, nx); None when using the direct solver
+    P_lower: jax.Array | None  # (N-1, nx, nx)
     Q_inv: jax.Array  # (N, nx, nx)
     R_inv: jax.Array  # (N-1, nu, nu)
 
@@ -63,12 +64,17 @@ def _add_rho_halfdiag(M, rho, nq):
     return M + rho * jnp.diag(mask)
 
 
-def build_schur(kkt: KKTSystem, rho, nq: int) -> SchurSystem:
+def build_schur(kkt: KKTSystem, rho, nq: int,
+                compute_precond: bool = True) -> SchurSystem:
+    """compute_precond=False skips the SS preconditioner (P_inv) — the
+    direct btd solver doesn't need it."""
     N, nx = kkt.Q.shape[0], kkt.Q.shape[1]
 
-    Qr = jax.vmap(lambda M: _add_rho_halfdiag(M, rho, nq))(kkt.Q)
-    Q_inv = jnp.linalg.inv(Qr)
-    R_inv = jnp.linalg.inv(kkt.R)
+    # Structured inverses (ops/batch_linalg.py): Q~ is block-diagonal
+    # (dense rank-2 qq block + diagonal qd block), R is diagonal.
+    rho_b = jnp.broadcast_to(rho, kkt.Q.shape[:-2])
+    Q_inv = block_qinv(kkt.Q, rho_b, nq)
+    R_inv = diag_inv(kkt.R)
 
     A, B = kkt.A, kkt.B
     phi = A @ Q_inv[:-1]  # (N-1, nx, nx)
@@ -91,9 +97,14 @@ def build_schur(kkt: KKTSystem, rho, nq: int) -> SchurSystem:
     )
     gamma = jnp.concatenate([g0[None], g_rest], axis=0)
 
-    theta_r = jax.vmap(lambda M: _add_rho_halfdiag(M, rho, nq))(theta)
-    P_main = jnp.concatenate([-Qr[:1], -jnp.linalg.inv(theta_r)], axis=0)
-    P_lower = -(P_main[1:] @ phi @ P_main[:-1])
+    if compute_precond:
+        theta_r = jax.vmap(lambda M: _add_rho_halfdiag(M, rho, nq))(theta)
+        Qr0 = _add_rho_halfdiag(kkt.Q[0], rho, nq)
+        P_main = jnp.concatenate([-Qr0[None], -gj_inv(theta_r)], axis=0)
+        P_lower = -(P_main[1:] @ phi @ P_main[:-1])
+    else:
+        P_main = None
+        P_lower = None
 
     return SchurSystem(
         S_main=S_main, S_lower=S_lower, gamma=gamma,

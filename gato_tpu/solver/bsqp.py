@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..ops.kkt import setup_kkt
 from ..ops.linesearch import line_search_update
 from ..ops.merit import default_alphas, merit_alphas, merit_value
+from ..ops.btd_solve import btd_solve_batched
 from ..ops.pcg import pcg_solve_batched
 from ..ops.schur import build_schur, compute_dz
 from ..robots.model import RobotModel
@@ -79,13 +80,21 @@ def solve_batched(
                 model, cp, X_, U_, xs_, ref_, fe_, dt, itype
             )
         )(X, U, x_s, ref, f_ext)
-        schur = jax.vmap(lambda k, r: build_schur(k, r, model.nq))(kkt, rho)
+        use_pcg = settings.linear_solver == "pcg"
+        schur = jax.vmap(
+            lambda k, r: build_schur(k, r, model.nq, compute_precond=use_pcg)
+        )(kkt, rho)
 
-        lam, pcg_iters = pcg_solve_batched(
-            schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
-            schur.gamma, lam, hp.pcg_tol, settings.max_pcg_iters,
-            skip=converged,
-        )
+        if use_pcg:
+            lam, pcg_iters = pcg_solve_batched(
+                schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
+                schur.gamma, lam, hp.pcg_tol, settings.max_pcg_iters,
+                skip=converged,
+            )
+        else:
+            lam, pcg_iters = btd_solve_batched(
+                schur.S_main, schur.S_lower, schur.gamma, lam, skip=converged,
+            )
         dZX, dZU, _, _ = jax.vmap(compute_dz)(kkt, schur, lam)
 
         converged = jnp.logical_or(converged, pcg_iters == 0)

@@ -26,6 +26,9 @@ class BSQPSettings:
     num_alphas: int = 8  # settings.h:15
     integrator_type: int = 2  # trapezoidal default, integrator.cuh:20
     adapt_rho: bool = True
+    linear_solver: str = "pcg"  # "pcg": the reference's preconditioned CG
+    # (pcg.cuh), fastest at large batch; "btd": direct block-tridiagonal
+    # factorization (exact duals, fastest at small batch)
     kkt_tol: float = 1e-4  # accepted for parity; the reference's explicit
     # KKT-tolerance exit is disabled in its driver (bsqp.cuh:153 comment)
 
