@@ -4,18 +4,21 @@ Workload matches the reference's heatmap benchmark (examples/benchmark_fig8.py
 :80-105 / BASELINE.md): indy7 figure-8 tracking MPC step, DEFAULT solver
 params (max_sqp_iters=1, max_pcg_iters=200, dt=0.01), batched solve latency.
 
+Timing note: on this tunneled TPU runtime, `block_until_ready` does not wait
+for device completion and a device->host read carries ~25 ms of tunnel
+latency, so we time chained executions and take the slope
+(gato_tpu/utils/timing.py).
+
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Headline metric: solves/s at N=32, B=512 (reference: 512 / 2.84 ms ~= 180282
 solves/s on its desktop GPU; BASELINE.json floor is 1,000 solves/s per chip).
-Pass --grid to print the full (N x B) latency table like the reference
-heatmap instead.
+Pass --grid for the full (N x B) latency table like the reference heatmap.
 """
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -31,7 +34,15 @@ REFERENCE_MS = {
 }
 
 
-def bench_solve(N, B, reps=20, warmup=3, plant="indy7"):
+def pick_solver(N, B, requested="auto"):
+    """Static per-shape choice between the direct block-tridiagonal solve and
+    PCG (measured on v5e: btd wins at N>=16 with large B, pcg elsewhere)."""
+    if requested != "auto":
+        return requested
+    return "btd" if (N >= 16 and B >= 32) else "pcg"
+
+
+def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,12 +52,16 @@ def bench_solve(N, B, reps=20, warmup=3, plant="indy7"):
     from gato_tpu.robots.model import load_robot
     from gato_tpu.solver.bsqp import solve_batched_jit
     from gato_tpu.solver.types import BSQPSettings, HyperParams
+    from gato_tpu.utils.timing import time_fn
 
     p = DEFAULT_SOLVER_PARAMS
     model = load_robot(plant)
     nx, nu = model.nx, model.nu
-    settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
-                            max_pcg_iters=p["max_pcg_iters"])
+    settings = BSQPSettings(
+        N=N, max_sqp_iters=sqp_iters or p["max_sqp_iters"],
+        max_pcg_iters=p["max_pcg_iters"],
+        linear_solver=pick_solver(N, B, solver),
+    )
     cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
                            u_cost=p["u_cost"], N_cost=p["N_cost"],
                            q_lim_cost=p["q_lim_cost"])
@@ -65,50 +80,40 @@ def bench_solve(N, B, reps=20, warmup=3, plant="indy7"):
     f_ext = jnp.zeros((B, 6), jnp.float32)
     dtj = jnp.float32(dt)
 
-    def run():
-        Xo, Uo, lam_o, hp_o, stats = solve_batched_jit(
-            model, settings, cp, hp, X, U, lam, x_s, ref, f_ext, dtj
-        )
-        jax.block_until_ready(Xo)
-        return Xo
+    def f(X, U, lam):
+        return solve_batched_jit(model, settings, cp, hp, X, U, lam,
+                                 x_s, ref, f_ext, dtj)
 
-    for _ in range(warmup):
-        run()
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    return float(np.mean(times)), float(np.min(times))
+    # chain the trajectory/duals through so executions are data-dependent
+    return time_fn(f, (X, U, lam), chain=lambda a, o: (o[0], o[1], o[2]))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--N", type=int, default=32)
     ap.add_argument("--B", type=int, default=512)
-    ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--grid", action="store_true",
-                    help="full heatmap grid instead of the headline point")
+    ap.add_argument("--solver", default="auto", choices=["auto", "pcg", "btd"])
+    ap.add_argument("--grid", action="store_true")
     args = ap.parse_args()
 
     if args.grid:
         rows = {}
         for N in (8, 16, 32, 64, 128):
             for B in (1, 32, 128, 512):
-                mean_s, min_s = bench_solve(N, B, reps=max(5, args.reps // 2))
+                t = bench_solve(N, B, solver=args.solver)
                 ref = REFERENCE_MS.get((N, B))
                 rows[f"N{N}_B{B}"] = {
-                    "ms": round(mean_s * 1e3, 3),
-                    "vs_ref": round(ref / (mean_s * 1e3), 3) if ref else None,
+                    "ms": round(t * 1e3, 3),
+                    "vs_ref": round(ref / (t * 1e3), 3) if ref else None,
                 }
-                print(f"N={N} B={B}: {mean_s*1e3:.3f} ms"
-                      + (f" (ref {ref} ms)" if ref else ""))
+                print(f"N={N:3d} B={B:3d}: {t*1e3:8.3f} ms"
+                      + (f"  (ref {ref} ms, x{ref/(t*1e3):.2f})" if ref else ""))
         print(json.dumps({"metric": "bsqp_grid", "value": rows,
                           "unit": "ms", "vs_baseline": None}))
         return
 
-    mean_s, min_s = bench_solve(args.N, args.B, reps=args.reps)
-    solves_per_s = args.B / mean_s
+    t = bench_solve(args.N, args.B, solver=args.solver)
+    solves_per_s = args.B / t
     print(json.dumps({
         "metric": f"indy7_N{args.N}_B{args.B}_solves_per_s",
         "value": round(solves_per_s, 1),

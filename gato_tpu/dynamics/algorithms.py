@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.batch_linalg import chol_factor, chol_solve
+from ..ops.batch_linalg import chol_factor, chol_solve, mm, mtv, mv
 from ..robots.model import RobotModel
 from .spatial import crf, crm, imul, rodrigues, skew, xf_apply_T, xm_apply
 
@@ -32,7 +32,7 @@ def joint_transforms(model: RobotModel, q):
     Also returns the world pose (R_w, p_w) of every link frame (FK).
     """
     Rj = rodrigues(model.axis, q)  # (nq, 3, 3)
-    R_link = model.R_tree @ Rj  # rotation child-in-parent
+    R_link = mm(model.R_tree, Rj)  # rotation child-in-parent
     E = jnp.swapaxes(R_link, -1, -2)
     r = model.p_tree
     return E, r, R_link
@@ -45,8 +45,8 @@ def fk(model: RobotModel, q):
     Rw = jnp.eye(3, dtype=q.dtype)
     pw = jnp.zeros(3, dtype=q.dtype)
     for i in range(model.nq):
-        pw = pw + Rw @ model.p_tree[i]
-        Rw = Rw @ R_link[i]
+        pw = pw + mv(Rw, model.p_tree[i])
+        Rw = mm(Rw, R_link[i])
         Rs.append(Rw)
         ps.append(pw)
     return jnp.stack(Rs), jnp.stack(ps)
@@ -72,7 +72,7 @@ def ee_xyz_jacobian(model: RobotModel, q):
     p_ee = ps[-1]
     cols = []
     for i in range(model.nq):
-        w = Rs[i] @ model.axis[i]
+        w = mv(Rs[i], model.axis[i])
         cols.append(jnp.cross(w, p_ee - ps[i]))
     return jnp.stack(cols, axis=-1)
 
@@ -130,9 +130,9 @@ def crba(model: RobotModel, q):
             # X^T Ic X: push composite inertia to the parent
             X = jnp.zeros((6, 6), dtype=q.dtype)
             X = X.at[:3, :3].set(E[i])
-            X = X.at[3:, :3].set(-E[i] @ skew(r[i]))
+            X = X.at[3:, :3].set(-mm(E[i], skew(r[i])))
             X = X.at[3:, 3:].set(E[i])
-            Ic[i - 1] = Ic[i - 1] + X.T @ Ic[i] @ X
+            Ic[i - 1] = Ic[i - 1] + mm(mm(X.T, Ic[i]), X)
         F = imul(Ic[i], S[i])
         M = M.at[i, i].set(S[i] @ F)
         j = i
@@ -175,8 +175,8 @@ def fd_and_grad(model: RobotModel, q, qd, tau, f_ext=None):
         lambda q_, qd_: rnea(model, q_, qd_, qdd, f_ext=f_ext), argnums=(0, 1)
     )(q, qd)
     Minv = chol_solve(L, jnp.eye(model.nq, dtype=q.dtype))
-    dqdd_dq = -(Minv @ did_dq)
-    dqdd_dqd = -(Minv @ did_dqd)
+    dqdd_dq = -mm(Minv, did_dq)
+    dqdd_dqd = -mm(Minv, did_dqd)
     return qdd, dqdd_dq, dqdd_dqd, Minv
 
 
@@ -194,6 +194,6 @@ def potential_energy(model: RobotModel, q):
         m = I6[5, 5]
         # m * com = unskew of the upper-right block
         mc = jnp.stack([I6[2, 4], I6[0, 5], I6[1, 3]])
-        com_w = ps[i] + Rs[i] @ (mc / jnp.maximum(m, 1e-12))
+        com_w = ps[i] + mv(Rs[i], mc / jnp.maximum(m, 1e-12))
         pe = pe + m * model.gravity * com_w[2]
     return pe

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.batch_linalg import mm, mtv, mv
+
 
 def skew(v):
     """(..., 3) -> (..., 3, 3) cross-product matrix."""
@@ -33,15 +35,15 @@ def rodrigues(axis, q):
     s = jnp.sin(q)[..., None, None]
     K = skew(axis)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), K.shape)
-    return eye + s * K + (1.0 - c) * (K @ K)
+    return eye + s * K + (1.0 - c) * mm(K, K)
 
 
 def xm_apply(E, r, m):
     """Motion transform child<-parent applied to a motion vector.
     X = [[E, 0], [-E skew(r), E]]  =>  [E w ; E (v - r x w)]."""
     w, v = m[..., :3], m[..., 3:]
-    Ew = jnp.einsum("...ij,...j->...i", E, w)
-    Ev = jnp.einsum("...ij,...j->...i", E, v - jnp.cross(r, w))
+    Ew = mv(E, w)
+    Ev = mv(E, v - jnp.cross(r, w))
     return jnp.concatenate([Ew, Ev], axis=-1)
 
 
@@ -49,8 +51,8 @@ def xf_apply_T(E, r, f):
     """Force accumulation to the parent: X^T f (X the motion transform
     child<-parent). n_p = E^T n + r x (E^T f);  f_p = E^T f."""
     n, fl = f[..., :3], f[..., 3:]
-    Etf = jnp.einsum("...ji,...j->...i", E, fl)
-    Etn = jnp.einsum("...ji,...j->...i", E, n)
+    Etf = mtv(E, fl)
+    Etn = mtv(E, n)
     return jnp.concatenate([Etn + jnp.cross(r, Etf), Etf], axis=-1)
 
 
@@ -74,7 +76,7 @@ def crf(v, f):
 
 def imul(I6, v):
     """Spatial inertia times motion vector."""
-    return jnp.einsum("...ij,...j->...i", I6, v)
+    return mv(I6, v)
 
 
 def xform_to_parent_inertia(E, r, I6):
@@ -82,6 +84,6 @@ def xform_to_parent_inertia(E, r, I6):
     spatial inertia in the parent frame (used by CRBA composite buildup)."""
     X = jnp.zeros(I6.shape[:-2] + (6, 6), dtype=I6.dtype)
     X = X.at[..., :3, :3].set(E)
-    X = X.at[..., 3:, :3].set(-E @ skew(r))
+    X = X.at[..., 3:, :3].set(-mm(E, skew(r)))
     X = X.at[..., 3:, 3:].set(E)
-    return jnp.swapaxes(X, -1, -2) @ I6 @ X
+    return mm(mm(jnp.swapaxes(X, -1, -2), I6), X)

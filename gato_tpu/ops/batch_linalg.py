@@ -45,8 +45,8 @@ def chol_factor(A):
             if j == 0:
                 s = A[..., j + 1:, j]
             else:
-                s = A[..., j + 1:, j] - jnp.einsum(
-                    "...ik,...k->...i", L[..., j + 1:, :j], L[..., j, :j]
+                s = A[..., j + 1:, j] - sum(
+                    L[..., j + 1:, k] * L[..., j, k:k + 1] for k in range(j)
                 )
             L = L.at[..., j + 1:, j].set(s / dj[..., None])
     return L
@@ -63,14 +63,16 @@ def chol_solve(L, b):
     for i in range(n):
         s = b[..., i, :]
         if i > 0:
-            s = s - jnp.einsum("...k,...km->...m", L[..., i, :i], y[..., :i, :])
+            s = s - sum(L[..., i, k, None] * y[..., k, :] for k in range(i))
         y = y.at[..., i, :].set(s / L[..., i, i][..., None])
     # back substitution L^T x = y
     x = jnp.zeros_like(b)
     for i in reversed(range(n)):
         s = y[..., i, :]
         if i + 1 < n:
-            s = s - jnp.einsum("...k,...km->...m", L[..., i + 1:, i], x[..., i + 1:, :])
+            s = s - sum(
+                L[..., k, i, None] * x[..., k, :] for k in range(i + 1, n)
+            )
         x = x.at[..., i, :].set(s / L[..., i, i][..., None])
     return x[..., 0] if vec else x
 
@@ -106,3 +108,33 @@ def block_qinv(Q, rho, nq: int):
     idx = jnp.arange(nq, nx)
     out = out.at[..., idx, idx].set(1.0 / d)
     return out
+
+
+# ---- exact-f32 small matmul helpers ----
+# On TPU, dot_general on f32 defaults to bf16 passes (~2% error) AND maps
+# tiny matrices onto the MXU with terrible utilization. Unrolling the short
+# contraction into mul-adds keeps full f32 precision on the VPU and is
+# 3-6x faster for the (huge_batch, 12, 12) shapes used here.
+
+def mm(a, b):
+    """(..., m, n) @ (..., n, p), contraction unrolled (n static, small)."""
+    n = a.shape[-1]
+    return sum(a[..., :, j, None] * b[..., None, j, :] for j in range(n))
+
+
+def mm_t(a, b):
+    """(..., m, n) @ (..., p, n)^T."""
+    n = a.shape[-1]
+    return sum(a[..., :, j, None] * b[..., None, :, j] for j in range(n))
+
+
+def mv(a, x):
+    """(..., m, n) @ (..., n)."""
+    n = a.shape[-1]
+    return sum(a[..., :, j] * x[..., j, None] for j in range(n))
+
+
+def mtv(a, x):
+    """(..., m, n)^T @ (..., m) -> (..., n)."""
+    m = a.shape[-2]
+    return sum(a[..., i, :] * x[..., i, None] for i in range(m))

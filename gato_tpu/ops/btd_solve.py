@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .batch_linalg import gj_inv
+from .batch_linalg import gj_inv, mm, mm_t
 from .schur import btd_matvec
 
 
@@ -35,9 +35,9 @@ def btd_solve(main, lower, gamma):
     def fwd(carry, inp):
         Dinv_prev, ghat_prev = carry
         main_k, lower_km1, gamma_k = inp
-        Lk = lower_km1 @ Dinv_prev
-        Dhat = main_k - Lk @ jnp.swapaxes(lower_km1, -1, -2)
-        ghat = gamma_k - Lk @ ghat_prev
+        Lk = mm(lower_km1, Dinv_prev)
+        Dhat = main_k - mm_t(Lk, lower_km1)
+        ghat = gamma_k - mm(Lk, ghat_prev)
         Dinv = gj_inv(Dhat)
         return (Dinv, ghat), (Dinv, ghat)
 
@@ -48,11 +48,11 @@ def btd_solve(main, lower, gamma):
     Dinv_all = jnp.concatenate([Dinv0[None], Dinvs], axis=0)
     ghat_all = jnp.concatenate([gamma[0][None, :, None], ghats], axis=0)
 
-    lam_last = Dinv_all[-1] @ ghat_all[-1]
+    lam_last = mm(Dinv_all[-1], ghat_all[-1])
 
     def bwd(lam_next, inp):
         Dinv_k, ghat_k, lower_k = inp
-        lam_k = Dinv_k @ (ghat_k - jnp.swapaxes(lower_k, -1, -2) @ lam_next)
+        lam_k = mm(Dinv_k, ghat_k - mm(jnp.swapaxes(lower_k, -1, -2), lam_next))
         return lam_k, lam_k
 
     _, lam_rest = jax.lax.scan(

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dynamics.algorithms import ee_position, ee_xyz_jacobian, fk
+from .batch_linalg import mtv
 from ..robots.model import RobotModel
 
 LIMIT_MARGIN = 0.1  # reference: JOINT_LIMIT_MARGIN<T>() == -0.1 applied as
@@ -115,7 +116,7 @@ def knot_cost_grad_hess(model: RobotModel, cp: CostParams, x, u, ref6, terminal)
     err = ee - ref6[:3]
     w_track = cp.N_cost if terminal else cp.q_cost
 
-    g = J.T @ err  # (nq,) unweighted tracking gradient direction
+    g = mtv(J, err)  # (nq,) unweighted tracking gradient direction
     bg_q = barrier_grad(q, jlo, jhi)
     bg_qd = barrier_grad(qd, vlo, vhi)
 

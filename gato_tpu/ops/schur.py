@@ -32,7 +32,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .batch_linalg import block_qinv, diag_inv, gj_inv
+from .batch_linalg import block_qinv, chol_inv, diag_inv, gj_inv, mm, mm_t, mv, mtv
 from .kkt import KKTSystem
 
 RHO_INIT = 1e-3  # settings.h:18
@@ -77,31 +77,28 @@ def build_schur(kkt: KKTSystem, rho, nq: int,
     R_inv = diag_inv(kkt.R)
 
     A, B = kkt.A, kkt.B
-    phi = A @ Q_inv[:-1]  # (N-1, nx, nx)
-    BRinv = B @ R_inv  # (N-1, nx, nu)
-    theta = (
-        phi @ jnp.swapaxes(A, -1, -2)
-        + BRinv @ jnp.swapaxes(B, -1, -2)
-        + Q_inv[1:]
-    )
+    phi = mm(A, Q_inv[:-1])  # (N-1, nx, nx)
+    BRinv = mm(B, R_inv)  # (N-1, nx, nu)
+    theta = mm_t(phi, A) + mm_t(BRinv, B) + Q_inv[1:]
 
     S_main = jnp.concatenate([-Q_inv[:1], -theta], axis=0)
     S_lower = phi
 
-    g0 = kkt.c[0] - jnp.einsum("ij,j->i", Q_inv[0], kkt.q[0])
+    g0 = kkt.c[0] - mv(Q_inv[0], kkt.q[0])
     g_rest = (
         kkt.c[1:]
-        + jnp.einsum("kij,kj->ki", phi, kkt.q[:-1])
-        + jnp.einsum("kij,kj->ki", BRinv, kkt.r)
-        - jnp.einsum("kij,kj->ki", Q_inv[1:], kkt.q[1:])
+        + mv(phi, kkt.q[:-1])
+        + mv(BRinv, kkt.r)
+        - mv(Q_inv[1:], kkt.q[1:])
     )
     gamma = jnp.concatenate([g0[None], g_rest], axis=0)
 
     if compute_precond:
         theta_r = jax.vmap(lambda M: _add_rho_halfdiag(M, rho, nq))(theta)
         Qr0 = _add_rho_halfdiag(kkt.Q[0], rho, nq)
-        P_main = jnp.concatenate([-Qr0[None], -gj_inv(theta_r)], axis=0)
-        P_lower = -(P_main[1:] @ phi @ P_main[:-1])
+        # theta~ is SPD: Cholesky-based inverse is ~4x faster than GJ here
+        P_main = jnp.concatenate([-Qr0[None], -chol_inv(theta_r)], axis=0)
+        P_lower = -mm(mm(P_main[1:], phi), P_main[:-1])
     else:
         P_main = None
         P_lower = None
@@ -115,9 +112,9 @@ def build_schur(kkt: KKTSystem, rho, nq: int,
 def btd_matvec(main, lower, x):
     """Symmetric block-tridiagonal mat-vec (linalg.cuh:174-273 analogue).
     main (N, nx, nx), lower (N-1, nx, nx) at blocks (k+1, k), x (N, nx)."""
-    y = jnp.einsum("kij,kj->ki", main, x)
-    y = y.at[1:].add(jnp.einsum("kij,kj->ki", lower, x[:-1]))
-    y = y.at[:-1].add(jnp.einsum("kji,kj->ki", lower, x[1:]))
+    y = mv(main, x)
+    y = y.at[1:].add(mv(lower, x[:-1]))
+    y = y.at[:-1].add(mtv(lower, x[1:]))
     return y
 
 
@@ -128,12 +125,12 @@ def compute_dz(kkt: KKTSystem, schur: SchurSystem, lam):
     Also returns the stationarity residuals the reference overwrites q/r with
     (schur_linsys.cuh:386-387, 428-429)."""
     lam_next = lam[1:]  # lambda_{k+1} for k = 0..N-2
-    At_lam = jnp.einsum("kji,kj->ki", kkt.A, lam_next)  # A^T lambda'
+    At_lam = mtv(kkt.A, lam_next)  # A^T lambda'
     res_q = kkt.q - lam
     res_q = res_q.at[:-1].add(At_lam)
-    dzx = -jnp.einsum("kij,kj->ki", schur.Q_inv, res_q)
+    dzx = -mv(schur.Q_inv, res_q)
 
-    Bt_lam = jnp.einsum("kji,kj->ki", kkt.B, lam_next)
+    Bt_lam = mtv(kkt.B, lam_next)
     res_r = kkt.r + Bt_lam
-    dzu = -jnp.einsum("kij,kj->ki", schur.R_inv, res_r)
+    dzu = -mv(schur.R_inv, res_r)
     return dzx, dzu, res_q, res_r

@@ -1,0 +1,54 @@
+"""Robust device timing for the tunneled TPU runtime.
+
+On this platform `block_until_ready` returns before device execution finishes
+and a device->host read carries ~25ms of tunnel latency, so single-call wall
+timing is meaningless. We instead queue K data-independent-free (chained)
+executions and synchronize once, taking the slope between two chain lengths;
+the tunnel latency and dispatch cost cancel in the difference. Medians over
+several trials reject scheduler noise.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+
+def _sync(tree):
+    leaf = jax.tree.leaves(tree)[0]
+    _ = np.asarray(leaf.ravel()[0])
+
+
+def time_fn(f, args, chain=None, k_small=5, k_big=45, trials=5):
+    """Per-execution seconds of f(*args).
+
+    chain: optional fn (args, out) -> new args, making successive executions
+    data-dependent so the device cannot overlap them. Defaults to reusing the
+    same args (executions still serialize on the single TPU stream).
+    """
+    out = f(*args)
+    _sync(out)
+
+    def run(k):
+        a, o = args, out
+        t0 = time.perf_counter()
+        for _ in range(k):
+            if chain is not None:
+                a = chain(a, o)
+            o = f(*a)
+        _sync(o)
+        return time.perf_counter() - t0
+
+    run(k_small)  # extra warm
+    diffs = []
+    for _ in range(trials):
+        t_small = run(k_small)
+        t_big = run(k_big)
+        diffs.append((t_big - t_small) / (k_big - k_small))
+    return float(np.median(diffs))
+
+
+def time_fn_ms(f, args, **kw):
+    return time_fn(f, args, **kw) * 1e3
