@@ -38,9 +38,10 @@ def joint_transforms(model: RobotModel, q):
     return E, r, R_link
 
 
-def fk(model: RobotModel, q):
+def fk(model: RobotModel, q, R_link=None):
     """World pose of each link frame: returns (R_w (nq,3,3), p_w (nq,3))."""
-    _, _, R_link = joint_transforms(model, q)
+    if R_link is None:
+        _, _, R_link = joint_transforms(model, q)
     Rs, ps = [], []
     Rw = jnp.eye(3, dtype=q.dtype)
     pw = jnp.zeros(3, dtype=q.dtype)
@@ -68,13 +69,18 @@ def ee_position(model: RobotModel, q):
 def ee_xyz_jacobian(model: RobotModel, q):
     """Analytic Jacobian of the EE xyz position wrt q: (3, nq).
     Column i = w_i x (p_ee - p_i) with w_i the world-frame joint axis."""
+    return ee_position_and_jacobian(model, q)[1]
+
+
+def ee_position_and_jacobian(model: RobotModel, q):
+    """EE xyz and its Jacobian from a single FK pass: (3,), (3, nq)."""
     Rs, ps = fk(model, q)
     p_ee = ps[-1]
     cols = []
     for i in range(model.nq):
         w = mv(Rs[i], model.axis[i])
         cols.append(jnp.cross(w, p_ee - ps[i]))
-    return jnp.stack(cols, axis=-1)
+    return p_ee, jnp.stack(cols, axis=-1)
 
 
 def _base_gravity_accel(model: RobotModel, dtype):
@@ -83,13 +89,15 @@ def _base_gravity_accel(model: RobotModel, dtype):
     return a0.at[5].set(model.gravity.astype(dtype))
 
 
-def rnea(model: RobotModel, q, qd, qdd, f_ext=None, gravity: bool = True):
+def rnea(model: RobotModel, q, qd, qdd, f_ext=None, gravity: bool = True,
+         transforms=None):
     """Recursive Newton-Euler inverse dynamics: tau(q, qd, qdd).
 
     f_ext: optional 6D spatial wrench [n; f] in the EE link frame, subtracted
     from the last link's net spatial force (mirrors indy7_fext.cuh:137-142).
+    transforms: optional precomputed (E, r) to share FK work across calls.
     """
-    E, r, _ = joint_transforms(model, q)
+    E, r = transforms if transforms is not None else joint_transforms(model, q)[:2]
     nq = model.nq
     S = jnp.concatenate([model.axis, jnp.zeros_like(model.axis)], axis=-1)
 
@@ -117,9 +125,9 @@ def rnea(model: RobotModel, q, qd, qdd, f_ext=None, gravity: bool = True):
     return jnp.stack(tau)
 
 
-def crba(model: RobotModel, q):
+def crba(model: RobotModel, q, transforms=None):
     """Composite rigid body algorithm: joint-space mass matrix M(q)."""
-    E, r, _ = joint_transforms(model, q)
+    E, r = transforms if transforms is not None else joint_transforms(model, q)[:2]
     nq = model.nq
     S = jnp.concatenate([model.axis, jnp.zeros_like(model.axis)], axis=-1)
 
@@ -145,16 +153,16 @@ def crba(model: RobotModel, q):
     return M
 
 
-def mass_matrix_cholesky(model: RobotModel, q):
-    return chol_factor(crba(model, q))
+def mass_matrix_cholesky(model: RobotModel, q, transforms=None):
+    return chol_factor(crba(model, q, transforms=transforms))
 
 
-def fd(model: RobotModel, q, qd, tau, f_ext=None):
+def fd(model: RobotModel, q, qd, tau, f_ext=None, transforms=None):
     """Forward dynamics qdd = M(q)^-1 (tau - c(q, qd) + J^T f_ext effects).
     Mirrors the reference composition: direct Minv + RNEA bias + finish
     (indy7_plant.cuh:150-173)."""
-    c = rnea(model, q, qd, jnp.zeros_like(q), f_ext=f_ext)
-    L = mass_matrix_cholesky(model, q)
+    c = rnea(model, q, qd, jnp.zeros_like(q), f_ext=f_ext, transforms=transforms)
+    L = mass_matrix_cholesky(model, q, transforms=transforms)
     return chol_solve(L, tau - c)
 
 

@@ -19,7 +19,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..dynamics.algorithms import ee_position, ee_xyz_jacobian, fk
+from ..dynamics.algorithms import (ee_position, ee_position_and_jacobian,
+                                   ee_xyz_jacobian, fk)
 from .batch_linalg import mtv
 from ..robots.model import RobotModel
 
@@ -60,10 +61,11 @@ def effective_limits(model: RobotModel):
 
 def barrier(x, lo, hi):
     """-log(x - lo) - log(hi - x), distances clamped at 1e-10
-    (indy7_plant.cuh:130-138)."""
+    (indy7_plant.cuh:130-138). Computed as -log(d_min * d_max): one
+    transcendental instead of two (identical clamping semantics)."""
     d_min = jnp.maximum(x - lo, 1e-10)
     d_max = jnp.maximum(hi - x, 1e-10)
-    return -jnp.log(d_min) - jnp.log(d_max)
+    return -jnp.log(d_min * d_max)
 
 
 def barrier_grad(x, lo, hi):
@@ -111,8 +113,7 @@ def knot_cost_grad_hess(model: RobotModel, cp: CostParams, x, u, ref6, terminal)
     q, qd = x[:nq], x[nq:]
     (jlo, jhi), (vlo, vhi), (clo, chi) = effective_limits(model)
 
-    ee = ee_position(model, q)[:3]
-    J = ee_xyz_jacobian(model, q)  # (3, nq)
+    ee, J = ee_position_and_jacobian(model, q)  # xyz + (3, nq), one FK
     err = ee - ref6[:3]
     w_track = cp.N_cost if terminal else cp.q_cost
 

@@ -14,9 +14,35 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..dynamics.algorithms import fd, fk, joint_transforms
 from ..robots.model import RobotModel
-from .cost import CostParams, knot_cost
-from .integrators import sim_step
+from .cost import CostParams, barrier, effective_limits, knot_cost
+from .integrators import integrate, sim_step
+
+
+def _knot_cost_and_defect(model, cp, x, u, x_next, ref6, f_ext, dt,
+                          integrator_type):
+    """Fused per-knot merit terms sharing one set of joint transforms between
+    the tracking cost's FK and the defect's forward dynamics (the reference
+    gets this reuse for free inside one thread block, merit.cuh:56-84)."""
+    nq = model.nq
+    q, qd = x[:nq], x[nq:]
+    E, r, R_link = joint_transforms(model, q)
+
+    _, ps = fk(model, q, R_link=R_link)
+    (jlo, jhi), (vlo, vhi), (clo, chi) = effective_limits(model)
+    err = ps[-1] - ref6[:3]
+    cost = 0.5 * cp.q_cost * jnp.sum(err * err)
+    cost = cost + 0.5 * cp.qd_cost * jnp.sum(qd * qd)
+    cost = cost + cp.q_lim_cost * jnp.sum(barrier(q, jlo, jhi))
+    cost = cost + cp.vel_lim_cost * jnp.sum(barrier(qd, vlo, vhi))
+    cost = cost + 0.5 * cp.u_cost * jnp.sum(u * u)
+    cost = cost + cp.ctrl_lim_cost * jnp.sum(barrier(u, clo, chi))
+
+    qdd = fd(model, q, qd, u, f_ext=f_ext, transforms=(E, r))
+    q_n, qd_n = integrate(q, qd, qdd, dt, integrator_type)
+    defect = jnp.sum(jnp.abs(x_next - jnp.concatenate([q_n, qd_n])))
+    return cost, defect
 
 
 def merit_value(
@@ -31,17 +57,13 @@ def merit_value(
     dt,
     integrator_type: int = 2,
 ):
-    costs = jax.vmap(
-        lambda x, u, r6: knot_cost(model, cp, x, u, r6, terminal=False)
-    )(X[:-1], U, ref[:-1])
+    costs, defects = jax.vmap(
+        lambda x, u, xn, r6: _knot_cost_and_defect(
+            model, cp, x, u, xn, r6, f_ext, dt, integrator_type
+        )
+    )(X[:-1], U, X[1:], ref[:-1])
     cost_N = knot_cost(model, cp, X[-1], None, ref[-1], terminal=True)
     cost = jnp.sum(costs) + cost_N
-
-    defects = jax.vmap(
-        lambda x, u, xn: jnp.sum(
-            jnp.abs(xn - sim_step(model, x, u, dt, f_ext, integrator_type))
-        )
-    )(X[:-1], U, X[1:])
     constraint = jnp.sum(defects) + jnp.sum(jnp.abs(X[0] - x_s))
     return cost + mu * constraint
 

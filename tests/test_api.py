@@ -1,0 +1,115 @@
+"""API-layer tests: BSQP facade surface, MPC closed loop, force estimator,
+pendulum augmentation, figure-8 generator parity."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gato_tpu.api.common import figure8, initialize_warm_start, rk4_step
+from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS, INDY7_START_CONFIGS
+from gato_tpu.api.force_estimator import ForceEstimator
+from gato_tpu.api.interface import BSQP
+from gato_tpu.api.mpc import MPC_GATO, add_pendulum
+from gato_tpu.robots.model import load_robot
+
+
+def test_figure8_shape_and_geometry():
+    traj = figure8(0.01, cycles=2).reshape(-1, 6)
+    assert traj.shape[0] == 2 * 600
+    # rpy slots are zero; xyz stays within amplitude box around the offset
+    assert np.all(traj[:, 3:] == 0)
+    assert traj[:, 2].min() >= 0.6 - 1e-9 and traj[:, 2].max() <= 1.0 + 1e-9
+
+
+def test_warm_start_layout():
+    XU = initialize_warm_start(np.arange(12.0), 4, 12, 6)
+    assert XU.shape == (4 * 18 - 6,)
+    assert np.allclose(XU[:12], np.arange(12.0))
+    assert np.allclose(XU[18:30], np.arange(12.0))
+    assert np.all(XU[12:18] == 0)
+
+
+def test_bsqp_interface_stats_surface():
+    B, N = 4, 8
+    p = DEFAULT_SOLVER_PARAMS
+    solver = BSQP(plant_type="indy7", batch_size=B, N=N, dt=0.01,
+                  max_sqp_iters=2, max_pcg_iters=50, pcg_tol=p["pcg_tol"],
+                  mu=p["mu"], q_cost=p["q_cost"], qd_cost=p["qd_cost"],
+                  u_cost=p["u_cost"], N_cost=p["N_cost"],
+                  q_lim_cost=p["q_lim_cost"], rho=p["rho"])
+    q0 = INDY7_START_CONFIGS["ready"]
+    x0 = np.concatenate([q0, np.zeros(6)]).astype(np.float32)
+    ee = solver.ee_pos(q0)
+    ref = np.tile(np.concatenate([ee + 0.02, np.zeros(3)]), (B, N)).astype(np.float32)
+    XU, t_us = solver.solve(np.tile(x0, (B, 1)), ref)
+    assert XU.shape == (B, N * 18 - 6)
+    s = solver.get_stats()
+    for key in ("sqp_time_us", "sqp_iters", "kkt_converged", "final_merit",
+                "initial_merit", "pcg_iters", "min_merit", "step_size",
+                "best_merit_per_iter", "best_merit_per_iter_normalized"):
+        assert key in s, key
+    assert s["sqp_iters"].shape == (B,)
+    assert s["pcg_iters"].shape[1] == B
+    # warm start pinned to measured state
+    assert np.allclose(XU[:, :12].mean(axis=0)[:6], XU[0, :12][:6])
+
+    # per-lane f_ext + sim_forward surface
+    f = np.zeros((B, 6), np.float32)
+    f[1, 3] = -30.0
+    solver.set_f_ext_B(f)
+    xn = solver.sim_forward(x0, np.ones(6, np.float32), 0.01)
+    assert xn.shape == (B, 12)
+    assert np.abs(xn[0] - xn[1]).max() > 1e-7
+
+    solver.reset()
+    assert float(np.abs(np.asarray(solver.lam)).max()) == 0.0
+
+
+def test_mpc_fig8_tracks():
+    x0 = np.concatenate([INDY7_START_CONFIGS["ready"], np.zeros(6)]).astype(np.float32)
+    mpc = MPC_GATO(plant_type="indy7", N=8, dt=0.01, batch_size=1,
+                   solver_params=dict(DEFAULT_SOLVER_PARAMS, max_pcg_iters=50))
+    _, stats = mpc.run_mpc_fig8(x0, figure8(0.01, cycles=1), sim_dt=0.001,
+                                sim_time=1.0)
+    assert len(stats["timestamps"]) > 50
+    # after the initial transient the tracking error must stay small
+    tail = np.asarray(stats["goal_distances"])[len(stats["timestamps"]) // 2:]
+    assert tail.mean() < 0.12
+
+
+def test_force_estimator_batch_structure():
+    fe = ForceEstimator(batch_size=8, seed=0)
+    batch = fe.generate_batch()
+    assert batch.shape == (8, 6)
+    assert np.all(batch[1] == 0)
+    errors = np.linspace(1.0, 0.1, 8)
+    fe.update(int(np.argmin(errors)), errors)
+    # winning exploration lane pulls the estimate away from zero
+    assert np.linalg.norm(fe.estimate) > 0
+    fe.reset()
+    assert np.all(fe.estimate == 0)
+
+
+def test_add_pendulum_dofs_and_mass():
+    model = load_robot("iiwa14")
+    aug = add_pendulum(model, mass=15.0, length=0.3)
+    assert aug.nq == model.nq + 3
+    assert float(aug.inertia[-1][5, 5]) == pytest.approx(15.0)
+    # augmented sim runs
+    x = jnp.zeros(2 * aug.nq, jnp.float32)
+    u = jnp.zeros(aug.nq, jnp.float32)
+    xn = rk4_step(aug, x, u, 0.001)
+    assert np.isfinite(np.asarray(xn)).all()
+
+
+def test_mpc_goals_smoke():
+    x0 = np.concatenate([INDY7_START_CONFIGS["ready"], np.zeros(6)]).astype(np.float32)
+    mpc = MPC_GATO(plant_type="indy7", N=8, dt=0.01, batch_size=1,
+                   solver_params=dict(DEFAULT_SOLVER_PARAMS, max_sqp_iters=2,
+                                      max_pcg_iters=50))
+    ee0 = mpc.solver.ee_pos(x0[:6])
+    goals = [ee0 + np.array([0.05, 0.0, 0.0])]
+    _, stats = mpc.run_mpc_goals(x0, goals, sim_dt=0.001, goal_timeout=1.5,
+                                 goal_threshold=0.04, velocity_threshold=2.0)
+    assert stats["goal_outcomes"][0] in ("reached", "timeout")
+    assert len(stats["timestamps"]) > 0

@@ -1,0 +1,62 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gato_tpu.ops.cost import CostParams
+from gato_tpu.parallel.sharding import (BATCH_AXIS, best_lane, make_mesh,
+                                        shard_solve_args, solve_batched_sharded)
+from gato_tpu.robots.model import load_robot
+from gato_tpu.solver.bsqp import solve_batched_jit
+from gato_tpu.solver.types import BSQPSettings, HyperParams
+
+
+def _problem(B, N, model):
+    q0 = jnp.asarray([-1.0966, -0.099, 0.8313, -0.109, 0.497, 0.015],
+                     jnp.float32)
+    x0 = jnp.concatenate([q0, jnp.zeros(6, jnp.float32)])
+    X = jnp.tile(x0, (B, N, 1))
+    U = jnp.zeros((B, N - 1, model.nu), jnp.float32)
+    lam = jnp.zeros((B, N, model.nx), jnp.float32)
+    x_s = jnp.tile(x0, (B, 1))
+    ref = jnp.tile(jnp.asarray([-0.3, 0.3, 0.95, 0, 0, 0], jnp.float32),
+                   (B, N, 1))
+    f_ext = jnp.zeros((B, 6), jnp.float32)
+    return X, U, lam, x_s, ref, f_ext
+
+
+def test_sharded_solve_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    model = load_robot("indy7")
+    N, B = 8, 16
+    st = BSQPSettings(N=N, max_sqp_iters=2, max_pcg_iters=25)
+    cp = CostParams.create(q_cost=2.0, qd_cost=1e-2, u_cost=2e-6,
+                           N_cost=50.0, q_lim_cost=0.01)
+    hp = HyperParams.create(B, rho=0.01, mu=10.0, pcg_tol=1e-4)
+    args = _problem(B, N, model)
+    dt = jnp.float32(0.01)
+
+    X1, U1, lam1, hp1, st1 = solve_batched_jit(model, st, cp, hp, *args, dt)
+
+    mesh = make_mesh(jax.devices()[:8])
+    Xs, Us, lams, x_ss, refs, fes, hps = shard_solve_args(
+        mesh, args[0], args[1], args[2], args[3], args[4], args[5], hp
+    )
+    X2, U2, lam2, hp2, st2 = solve_batched_sharded(
+        model, st, cp, hps, Xs, Us, lams, x_ss, refs, fes, dt
+    )
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st1.final_merit),
+                               np.asarray(st2.final_merit), rtol=2e-5, atol=2e-5)
+    # output keeps the batch sharding
+    shard_names = {d for s in X2.sharding.device_set for d in [s.id]}
+    assert len(shard_names) == 8
+
+    b = int(best_lane(st2.final_merit))
+    assert 0 <= b < B
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
