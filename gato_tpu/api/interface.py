@@ -207,7 +207,36 @@ class BSQP:
         q = jnp.asarray(np.asarray(q, np.float32).reshape(self.nq))
         return np.asarray(_ee_position(self.model, q)[:3])
 
-    # ---- state management (interface.py:216-234) ----
+    # ---- state management (interface.py:216-234, bsqp.cuh:63-89) ----
+
+    def set_rho_penalty_batch(self, rho_batch, set_as_reset_default=True):
+        arr = jnp.asarray(np.asarray(rho_batch, np.float32).reshape(self.batch_size))
+        self.hp = HyperParams(arr, self.hp.drho, self.hp.mu, self.hp.pcg_tol)
+        if set_as_reset_default:
+            self._hp_init = HyperParams(arr, self._hp_init.drho,
+                                        self._hp_init.mu, self._hp_init.pcg_tol)
+
+    def set_drho_batch(self, drho_batch, set_as_reset_default=True):
+        arr = jnp.asarray(np.asarray(drho_batch, np.float32).reshape(self.batch_size))
+        self.hp = HyperParams(self.hp.rho, arr, self.hp.mu, self.hp.pcg_tol)
+        if set_as_reset_default:
+            self._hp_init = HyperParams(self._hp_init.rho, arr,
+                                        self._hp_init.mu, self._hp_init.pcg_tol)
+
+    def set_mu_batch(self, mu_batch):
+        arr = jnp.asarray(np.asarray(mu_batch, np.float32).reshape(self.batch_size))
+        self.hp = HyperParams(self.hp.rho, self.hp.drho, arr, self.hp.pcg_tol)
+
+    def set_pcg_tol_batch(self, pcg_tol_batch):
+        arr = jnp.asarray(np.asarray(pcg_tol_batch, np.float32).reshape(self.batch_size))
+        self.hp = HyperParams(self.hp.rho, self.hp.drho, self.hp.mu, arr)
+
+    def set_rho_adaptation(self, enabled: bool):
+        """Toggle line-search rho adaptation (recompiles on first use with a
+        new setting, mirroring set_rho_adaptation, bsqp.cuh:89)."""
+        import dataclasses
+        self.settings = dataclasses.replace(self.settings,
+                                            adapt_rho=bool(enabled))
 
     def set_f_ext_B(self, f_ext_B):
         self.f_ext_B = jnp.asarray(

@@ -205,3 +205,30 @@ def potential_energy(model: RobotModel, q):
         com_w = ps[i] + mv(Rs[i], mc / jnp.maximum(m, 1e-12))
         pe = pe + m * model.gravity * com_w[2]
     return pe
+
+
+def id_so_derivatives(model: RobotModel, q, qd, qdd):
+    """Second-order inverse-dynamics derivatives d2tau/d(q,qd)^2.
+
+    Capability parity with the reference's generated `idsva_so_inner`
+    (iiwa14_grid.cuh:7956) — produced there by codegen, here by forward-over-
+    forward AD through the unrolled RNEA. Returns a nested jacobian pytree
+    (((d2tau/dqdq, d2tau/dqdqd), (d2tau/dqddq, d2tau/dqddqd)))."""
+    f = lambda q_, qd_: rnea(model, q_, qd_, qdd)
+    return jax.jacfwd(jax.jacfwd(f, argnums=(0, 1)), argnums=(0, 1))(q, qd)
+
+
+def fd_so_derivatives(model: RobotModel, q, qd, tau):
+    """Second-order forward-dynamics derivatives (fdsva_so_inner analogue,
+    iiwa14_grid.cuh:8813)."""
+    f = lambda q_, qd_, t_: fd(model, q_, qd_, t_)
+    return jax.jacfwd(jax.jacfwd(f, argnums=(0, 1, 2)), argnums=(0, 1, 2))(
+        q, qd, tau)
+
+
+def ee_pose_grad_hess(model: RobotModel, q):
+    """EE 6D pose gradient and Hessian wrt q (parity with the generated
+    `end_effector_pose_gradient[_hessian]`, iiwa14_grid.cuh header :46-59)."""
+    J = jax.jacfwd(lambda q_: ee_position(model, q_))(q)
+    H = jax.jacfwd(jax.jacfwd(lambda q_: ee_position(model, q_)))(q)
+    return J, H
