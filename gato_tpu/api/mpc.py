@@ -52,7 +52,7 @@ def add_pendulum(model: RobotModel, mass=15.0, length=0.3):
 
     wide = onp.tile(onp.array([-1e3, 1e3], dtype=dtype), (3, 1))
     cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b, a.dtype)], axis=0)
-    return RobotModel(
+    aug = RobotModel(
         R_tree=cat(model.R_tree, R_tree),
         p_tree=cat(model.p_tree, p_tree),
         axis=cat(model.axis, axes),
@@ -61,7 +61,24 @@ def add_pendulum(model: RobotModel, mass=15.0, length=0.3):
         velocity_limits=cat(model.velocity_limits, wide),
         effort_limits=cat(model.effort_limits, wide),
         R_ee=model.R_ee, p_ee=model.p_ee, gravity=model.gravity,
+        key=f"{model.key}+pendulum(m={mass},l={length})",
     )
+    # register trace-time constants for codegen-style paths
+    from ..robots.urdf import ParsedRobot
+    from ..robots.model import register_parsed
+    register_parsed(aug.key, ParsedRobot(
+        name=aug.key, nq=aug.nq, joint_names=[],
+        R_tree=onp.asarray(aug.R_tree, onp.float64),
+        p_tree=onp.asarray(aug.p_tree, onp.float64),
+        axis=onp.asarray(aug.axis, onp.float64),
+        inertia=onp.asarray(aug.inertia, onp.float64),
+        joint_limits=onp.asarray(aug.joint_limits, onp.float64),
+        velocity_limits=onp.asarray(aug.velocity_limits, onp.float64),
+        effort_limits=onp.asarray(aug.effort_limits, onp.float64),
+        R_ee=onp.asarray(aug.R_ee, onp.float64),
+        p_ee=onp.asarray(aug.p_ee, onp.float64),
+    ))
+    return aug
 
 
 class MPC_GATO:

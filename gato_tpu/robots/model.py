@@ -10,7 +10,7 @@ PLANT matrix does (CMakeLists.txt:57-83).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -18,6 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from .urdf import ParsedRobot, parse_urdf
+
+# Registry of trace-time robot constants, keyed by RobotModel.key. The pytree
+# arrays are dynamic jit arguments; codegen-style paths (dynamics/channelized)
+# need the same constants as static Python floats — the registry provides
+# them, playing the role of GRiD's generated per-robot headers.
+_PARSED_REGISTRY: dict[str, ParsedRobot] = {}
+
+
+def register_parsed(key: str, parsed: ParsedRobot) -> None:
+    _PARSED_REGISTRY[key] = parsed
+
+
+def get_parsed(key: str) -> ParsedRobot:
+    return _PARSED_REGISTRY[key]
 
 _ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
 
@@ -51,6 +65,8 @@ class RobotModel:
     R_ee: jax.Array  # (3, 3) fixed EE offset (not applied by ee_position;
     p_ee: jax.Array  # (3,)   see urdf.parse_urdf docstring)
     gravity: jax.Array  # () scalar, magnitude of -z world gravity
+    key: str = field(default="", metadata=dict(static=True))  # registry key
+    # for trace-time constants (see register_parsed/get_parsed)
 
     @property
     def nq(self) -> int:
@@ -69,8 +85,11 @@ class RobotModel:
         return self.nq
 
 
-def from_parsed(robot: ParsedRobot, dtype=jnp.float32, gravity: float = 9.81) -> RobotModel:
+def from_parsed(robot: ParsedRobot, dtype=jnp.float32, gravity: float = 9.81,
+                key: str | None = None) -> RobotModel:
     cast = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+    key = key if key is not None else f"{robot.name}:{id(robot)}"
+    register_parsed(key, robot)
     return RobotModel(
         R_tree=cast(robot.R_tree),
         p_tree=cast(robot.p_tree),
@@ -82,10 +101,14 @@ def from_parsed(robot: ParsedRobot, dtype=jnp.float32, gravity: float = 9.81) ->
         R_ee=cast(robot.R_ee),
         p_ee=cast(robot.p_ee),
         gravity=jnp.asarray(gravity, dtype=dtype),
+        key=key,
     )
 
 
 def load_robot(name_or_path: str, dtype=jnp.float32) -> RobotModel:
     """Load a built-in plant by name ('indy7', 'iiwa14') or any URDF path."""
     path = PLANT_URDFS.get(name_or_path, name_or_path)
-    return from_parsed(parse_urdf(path), dtype=dtype)
+    key = f"{name_or_path}:{jnp.dtype(dtype).name}"
+    if key in _PARSED_REGISTRY:
+        return from_parsed(_PARSED_REGISTRY[key], dtype=dtype, key=key)
+    return from_parsed(parse_urdf(path), dtype=dtype, key=key)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..ops.kkt import setup_kkt
 from ..ops.linesearch import line_search_update
-from ..ops.merit import default_alphas, merit_alphas, merit_value
+from ..ops.merit import default_alphas
+from ..ops.merit_fast import merit_alphas_batched, merit_value_batched
 from ..ops.btd_solve import btd_solve_batched
 from ..ops.pcg import pcg_solve_batched
 from ..ops.schur import build_schur, compute_dz
@@ -51,11 +52,9 @@ def solve_batched(
     itype = settings.integrator_type
     alphas = default_alphas(settings.num_alphas, dtype=X.dtype)
 
-    merit_b = jax.vmap(
-        lambda X_, U_, xs_, ref_, fe_, mu_: merit_value(
-            model, cp, X_, U_, xs_, ref_, fe_, mu_, dt, itype
-        )
-    )
+    def merit_b(X_, U_, xs_, ref_, fe_, mu_):
+        return merit_value_batched(model, cp, X_, U_, xs_, ref_, fe_, mu_,
+                                   dt, itype)
 
     merit0 = merit_b(X, U, x_s, ref, f_ext, hp.mu)  # (B,)
 
@@ -109,12 +108,10 @@ def solve_batched(
 
         def do_ls(args):
             X, U, rho, drho, mbase, stats = args
-            merits = jax.vmap(
-                lambda X_, U_, dx_, du_, xs_, ref_, fe_, mu_: merit_alphas(
-                    model, cp, X_, U_, dx_, du_, xs_, ref_, fe_, mu_, dt,
-                    alphas, itype,
-                )
-            )(X, U, dZX, dZU, x_s, ref, f_ext, hp.mu)  # (B, A)
+            merits = merit_alphas_batched(
+                model, cp, X, U, dZX, dZU, x_s, ref, f_ext, hp.mu, dt,
+                alphas, itype,
+            )  # (B, A)
 
             ls = jax.vmap(
                 lambda m, mb, X_, U_, dx_, du_, r_, dr_: line_search_update(
