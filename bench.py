@@ -39,7 +39,7 @@ def pick_solver(N, B, requested="auto"):
     PCG (measured on v5e: btd wins at N>=16 with large B, pcg elsewhere)."""
     if requested != "auto":
         return requested
-    return "btd" if (N >= 16 and B >= 32) else "pcg"
+    return "btd" if B >= 32 else "pcg"
 
 
 def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None):

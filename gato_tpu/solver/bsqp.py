@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..ops.kkt import setup_kkt
 from ..ops.linesearch import line_search_update
 from ..ops.merit import default_alphas
-from ..ops.merit_fast import merit_alphas_batched, merit_value_batched
+from ..ops.merit_fast import merit_alphas_batched
+from ..ops.pallas_merit import merit_alphas_batched_pallas
 from ..ops.btd_solve import btd_solve_batched
 from ..ops.pcg import pcg_solve_batched
 from ..ops.schur import build_schur, compute_dz
@@ -52,9 +53,16 @@ def solve_batched(
     itype = settings.integrator_type
     alphas = default_alphas(settings.num_alphas, dtype=X.dtype)
 
+    # The Pallas kernel keeps the whole per-knot pipeline in VMEM; on CPU it
+    # would run interpreted, so fall back to the XLA channelized path there.
+    merit_fn = (merit_alphas_batched_pallas
+                if jax.default_backend() == "tpu" else merit_alphas_batched)
+
     def merit_b(X_, U_, xs_, ref_, fe_, mu_):
-        return merit_value_batched(model, cp, X_, U_, xs_, ref_, fe_, mu_,
-                                   dt, itype)
+        one = jnp.ones((1,), X_.dtype)
+        return merit_fn(model, cp, X_, U_, jnp.zeros_like(X_),
+                        jnp.zeros_like(U_), xs_, ref_, fe_, mu_, dt, one,
+                        itype)[:, 0]
 
     merit0 = merit_b(X, U, x_s, ref, f_ext, hp.mu)  # (B,)
 
@@ -108,7 +116,7 @@ def solve_batched(
 
         def do_ls(args):
             X, U, rho, drho, mbase, stats = args
-            merits = merit_alphas_batched(
+            merits = merit_fn(
                 model, cp, X, U, dZX, dZU, x_s, ref, f_ext, hp.mu, dt,
                 alphas, itype,
             )  # (B, A)
