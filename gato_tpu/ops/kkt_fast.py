@@ -87,27 +87,15 @@ def _fd_and_grad_channels(cd: ChannelizedDynamics, q, qd, u, fe):
     return qdd, dqdd, Minv, fk
 
 
-def setup_kkt_batched(model: RobotModel, cp: CostParams, X, U, x_s, ref,
-                      f_ext, dt, integrator_type: int = 2) -> KKTSystem:
-    """Batched KKT setup: X (B,N,nx), U (B,N-1,nu) -> KKTSystem with (B, ...)
-    leading axes (same contract as vmapping ops/kkt.setup_kkt)."""
-    cd = _get_cd(model.key)
+def kkt_knot_channels(cd: ChannelizedDynamics, key: str, cp: CostParams,
+                      q, qd, u, xn, r3, fe, dt, integrator_type: int,
+                      like):
+    """Per-work-item KKT channels for non-terminal knots. Returns the flat
+    channel list [A (nx*nx row-major), B (nx*nu), c (nx), Q (nx*nx), qv (nx),
+    R_diag (nu), rv (nu)] — usable on (M,) arrays (XLA) or (8,128) VMEM
+    blocks (Pallas)."""
     nq = cd.nq
     nx = 2 * nq
-    B, N = X.shape[0], X.shape[1]
-    M = B * (N - 1)
-
-    xk = X[:, :-1].reshape(M, nx)
-    xn = X[:, 1:].reshape(M, nx)
-    uk = U.reshape(M, nq)
-    r3 = ref[:, :-1, :3].reshape(M, 3)
-    fe_arr = jnp.broadcast_to(f_ext[:, None, :], (B, N - 1, 6)).reshape(M, 6)
-
-    q = [xk[:, i] for i in range(nq)]
-    qd = [xk[:, nq + i] for i in range(nq)]
-    u = [uk[:, i] for i in range(nq)]
-    fe = [fe_arr[:, i] for i in range(6)]
-    like = q[0]
 
     qdd, dqdd, Minv, (p_ee, Rws, pws) = _fd_and_grad_channels(cd, q, qd, u, fe)
 
@@ -151,13 +139,13 @@ def setup_kkt_batched(model: RobotModel, cp: CostParams, X, U, x_s, ref,
             q_n = q[i] + dt * (qd[i] + dt * _vec1(qdd[i], like))
         else:
             q_n = q[i] + dt * qd[i] + (0.5 * dt * dt) * _vec1(qdd[i], like)
-        c_ch.append(xn[:, i] - q_n)
+        c_ch.append(xn[i] - q_n)
     for i in range(nq):
         qd_n = qd[i] + dt * _vec1(qdd[i], like)
-        c_ch.append(xn[:, nq + i] - qd_n)
+        c_ch.append(xn[nq + i] - qd_n)
 
     # ---- cost gradient / Hessian (cost.knot_cost_grad_hess semantics) ----
-    (jlo, jhi), (vlo, vhi), (clo, chi) = _limits(model.key)
+    (jlo, jhi), (vlo, vhi), (clo, chi) = _limits(key)
 
     def cost_blocks(q, qd, p_ee, Rws, pws, r3, w_track):
         err = [p_ee[k] - r3[k] for k in range(3)]
@@ -187,52 +175,133 @@ def setup_kkt_batched(model: RobotModel, cp: CostParams, X, U, x_s, ref,
                                     + cp.vel_lim_cost * bg_qd[i] * bg_qd[i])
         return Q_ch, grad_q + grad_qd
 
-    Q_ch, qv = cost_blocks(q, qd, p_ee, Rws, pws,
-                           [r3[:, k] for k in range(3)], cp.q_cost)
+    Q_ch, qv = cost_blocks(q, qd, p_ee, Rws, pws, r3, cp.q_cost)  # r3: 3 channels
     bg_u = [_barrier_grad(u[i], float(clo[i]), float(chi[i]))
             for i in range(nq)]
     rv = [cp.u_cost * u[i] + cp.ctrl_lim_cost * bg_u[i] for i in range(nq)]
     R_diag = [cp.u_cost + cp.ctrl_lim_cost * bg_u[i] * bg_u[i]
               for i in range(nq)]
 
-    # terminal knot (B items)
+    flat = []
+    for r in range(nx):
+        flat.extend(A_ch[r])
+    for r in range(nx):
+        flat.extend(B_ch[r])
+    flat.extend(c_ch)
+    for r in range(nx):
+        flat.extend(Q_ch[r])
+    flat.extend(qv)
+    flat.extend(R_diag)
+    flat.extend(rv)
+    return [_vec1(c, like) for c in flat]
+
+
+def kkt_channel_count(nq: int) -> int:
+    nx = 2 * nq
+    return nx * nx + nx * nq + nx + nx * nx + nx + nq + nq
+
+
+def terminal_cost_channels(cd: ChannelizedDynamics, key: str, cp: CostParams,
+                           q, qd, r3, like):
+    """Terminal-knot Q, qv channels (flat [Q (nx*nx), qv (nx)])."""
+    nq = cd.nq
+    nx = 2 * nq
+    (jlo, jhi), (vlo, vhi), _ = _limits(key)
+    cs = [jnp.cos(x) for x in q]
+    ss = [jnp.sin(x) for x in q]
+    p_ee, Rws, pws = cd.fk_ee(cs, ss)
+    err = [chsub(p_ee[k], r3[k]) for k in range(3)]
+    g = []
+    for i in range(nq):
+        w = mat_vec(Rws[i], cd.axis[i])
+        dpi = [chsub(p_ee[k], pws[i][k]) for k in range(3)]
+        col = [chsub(chmul(w[1], dpi[2]), chmul(w[2], dpi[1])),
+               chsub(chmul(w[2], dpi[0]), chmul(w[0], dpi[2])),
+               chsub(chmul(w[0], dpi[1]), chmul(w[1], dpi[0]))]
+        g.append(chsum([chmul(col[k], err[k]) for k in range(3)]))
+    bg_q = [_barrier_grad(q[i], float(jlo[i]), float(jhi[i])) for i in range(nq)]
+    bg_qd = [_barrier_grad(qd[i], float(vlo[i]), float(vhi[i])) for i in range(nq)]
+    Q_ch = [[None] * nx for _ in range(nx)]
+    for i in range(nq):
+        for j in range(nq):
+            Q_ch[i][j] = (cp.N_cost * _vec1(chmul(g[i], g[j]), like)
+                          + cp.q_lim_cost * (bg_q[i] * bg_q[j]))
+        Q_ch[nq + i][nq + i] = cp.qd_cost + cp.vel_lim_cost * bg_qd[i] * bg_qd[i]
+    qv = ([cp.N_cost * _vec1(g[i], like) + cp.q_lim_cost * bg_q[i]
+           for i in range(nq)]
+          + [cp.qd_cost * qd[i] + cp.vel_lim_cost * bg_qd[i] for i in range(nq)])
+    flat = []
+    for r in range(nx):
+        flat.extend(Q_ch[r])
+    flat.extend(qv)
+    return [_vec1(c, like) for c in flat]
+
+
+def setup_kkt_batched(model: RobotModel, cp: CostParams, X, U, x_s, ref,
+                      f_ext, dt, integrator_type: int = 2) -> KKTSystem:
+    """Batched KKT setup: X (B,N,nx), U (B,N-1,nu) -> KKTSystem with (B, ...)
+    leading axes (same contract as vmapping ops/kkt.setup_kkt)."""
+    cd = _get_cd(model.key)
+    nq = cd.nq
+    nx = 2 * nq
+    B, N = X.shape[0], X.shape[1]
+    M = B * (N - 1)
+
+    xk = X[:, :-1].reshape(M, nx)
+    xnm = X[:, 1:].reshape(M, nx)
+    uk = U.reshape(M, nq)
+    r3m = ref[:, :-1, :3].reshape(M, 3)
+    fe_arr = jnp.broadcast_to(f_ext[:, None, :], (B, N - 1, 6)).reshape(M, 6)
+
+    q = [xk[:, i] for i in range(nq)]
+    qd = [xk[:, nq + i] for i in range(nq)]
+    u = [uk[:, i] for i in range(nq)]
+    xn = [xnm[:, i] for i in range(nx)]
+    r3 = [r3m[:, i] for i in range(3)]
+    fe = [fe_arr[:, i] for i in range(6)]
+    like = q[0]
+
+    flat = kkt_knot_channels(cd, model.key, cp, q, qd, u, xn, r3, fe, dt,
+                             integrator_type, like)
+    stacked = jnp.stack(flat, axis=0)  # (C, M)
+    return assemble_kkt(model, cp, stacked, X, x_s, ref, B, N, nq)
+
+
+def assemble_kkt(model, cp, stacked, X, x_s, ref, B, N, nq) -> KKTSystem:
+    """Build the KKTSystem arrays from stacked knot channels (C, M) plus the
+    terminal-knot channels computed on (B,) arrays."""
+    cd = _get_cd(model.key)
+    nx = 2 * nq
+    i0 = 0
+
+    def take(n):
+        nonlocal i0
+        out = stacked[i0:i0 + n]
+        i0 += n
+        return out
+
+    A = take(nx * nx).reshape(nx, nx, B, N - 1).transpose(2, 3, 0, 1)
+    Bm = take(nx * nq).reshape(nx, nq, B, N - 1).transpose(2, 3, 0, 1)
+    c_knots = take(nx).reshape(nx, B, N - 1).transpose(1, 2, 0)
+    Q = take(nx * nx).reshape(nx, nx, B, N - 1).transpose(2, 3, 0, 1)
+    qv = take(nx).reshape(nx, B, N - 1).transpose(1, 2, 0)
+    Rd = take(nq).reshape(nq, B, N - 1).transpose(1, 2, 0)
+    rv = take(nq).reshape(nq, B, N - 1).transpose(1, 2, 0)
+
+    # terminal knot (B items, stays on (B,) channels)
     xT = X[:, -1]
     qT = [xT[:, i] for i in range(nq)]
     qdT = [xT[:, nq + i] for i in range(nq)]
-    csT = [jnp.cos(x) for x in qT]
-    ssT = [jnp.sin(x) for x in qT]
-    p_eeT, RwsT, pwsT = cd.fk_ee(csT, ssT)
     rT = ref[:, -1, :3]
-    likeT = qT[0]
+    flatT = terminal_cost_channels(cd, model.key, cp, qT, qdT,
+                                   [rT[:, k] for k in range(3)], qT[0])
+    stT = jnp.stack(flatT, axis=0)
+    QT = stT[:nx * nx].reshape(nx, nx, B).transpose(2, 0, 1)
+    qvT = stT[nx * nx:].reshape(nx, B).transpose(1, 0)
 
-    # reuse cost_blocks with terminal weight (channels are (B,) now)
-    def cost_blocks_T():
-        nonlocal like
-        saved = like
-        like = likeT
-        out = cost_blocks(qT, qdT, p_eeT, RwsT, pwsT,
-                          [rT[:, k] for k in range(3)], cp.N_cost)
-        like = saved
-        return out
-
-    QT_ch, qvT = cost_blocks_T()
-
-    # ---- materialize arrays ----
-    A = _mat(A_ch, like).reshape(B, N - 1, nx, nx)
-    Bm = _mat(B_ch, like).reshape(B, N - 1, nx, nq)
-    c_knots = jnp.stack(c_ch, axis=-1).reshape(B, N - 1, nx)
     c0 = X[:, 0] - x_s
     c = jnp.concatenate([c0[:, None], c_knots], axis=1)
-
-    Qk = _mat(Q_ch, like).reshape(B, N - 1, nx, nx)
-    QT = _mat(QT_ch, likeT).reshape(B, 1, nx, nx)
-    Q = jnp.concatenate([Qk, QT], axis=1)
-    qk = _vec(qv, like).reshape(B, N - 1, nx)
-    qT_arr = _vec(qvT, likeT).reshape(B, 1, nx)
-    qvec = jnp.concatenate([qk, qT_arr], axis=1)
-
-    rvec = _vec(rv, like).reshape(B, N - 1, nq)
-    Rd = _vec(R_diag, like).reshape(B, N - 1, nq)
+    Q_all = jnp.concatenate([Q, QT[:, None]], axis=1)
+    q_all = jnp.concatenate([qv, qvT[:, None]], axis=1)
     R = jnp.eye(nq, dtype=X.dtype) * Rd[..., None, :]
-
-    return KKTSystem(Q=Q, q=qvec, R=R, r=rvec, A=A, B=Bm, c=c)
+    return KKTSystem(Q=Q_all, q=q_all, R=R, r=rv, A=A, B=Bm, c=c)

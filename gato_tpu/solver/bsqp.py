@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.kkt import setup_kkt
+from ..ops.pallas_kkt import setup_kkt_pallas
 from ..ops.linesearch import line_search_update
 from ..ops.merit import default_alphas
 from ..ops.merit_fast import merit_alphas_batched
@@ -82,11 +83,17 @@ def solve_batched(
         converged = state["converged"]
         it = state["it"]
 
-        kkt = jax.vmap(
-            lambda X_, U_, xs_, ref_, fe_: setup_kkt(
-                model, cp, X_, U_, xs_, ref_, fe_, dt, itype
-            )
-        )(X, U, x_s, ref, f_ext)
+        # The Pallas KKT kernel wins on small batches (it collapses hundreds
+        # of tiny dispatches); at large batch the array path fuses with the
+        # Schur stage and wins end-to-end despite being slower in isolation.
+        if jax.default_backend() == "tpu" and B < 32:
+            kkt = setup_kkt_pallas(model, cp, X, U, x_s, ref, f_ext, dt, itype)
+        else:
+            kkt = jax.vmap(
+                lambda X_, U_, xs_, ref_, fe_: setup_kkt(
+                    model, cp, X_, U_, xs_, ref_, fe_, dt, itype
+                )
+            )(X, U, x_s, ref, f_ext)
         use_pcg = settings.linear_solver == "pcg"
         schur = jax.vmap(
             lambda k, r: build_schur(k, r, model.nq, compute_precond=use_pcg)
