@@ -232,3 +232,58 @@ def ee_pose_grad_hess(model: RobotModel, q):
     J = jax.jacfwd(lambda q_: ee_position(model, q_))(q)
     H = jax.jacfwd(jax.jacfwd(lambda q_: ee_position(model, q_)))(q)
     return J, H
+
+
+def aba(model: RobotModel, q, qd, tau, f_ext=None):
+    """Articulated-body algorithm: O(n) forward dynamics without forming M.
+
+    Capability parity with the reference's generated `aba` (iiwa14_grid.cuh
+    :6674, :7427 — generated but unused by its solver). Featherstone ch. 7.
+    f_ext follows the same EE-link convention as rnea().
+    """
+    E, r, _ = joint_transforms(model, q)
+    nq = model.nq
+    S = jnp.concatenate([model.axis, jnp.zeros_like(model.axis)], axis=-1)
+
+    # pass 1: velocities and bias terms
+    v = []
+    c = []
+    v_par = jnp.zeros(6, dtype=q.dtype)
+    for i in range(nq):
+        vJ = S[i] * qd[i]
+        vi = xm_apply(E[i], r[i], v_par) + vJ
+        v.append(vi)
+        c.append(crm(vi, vJ))
+        v_par = vi
+
+    IA = [model.inertia[i] for i in range(nq)]
+    pA = [crf(v[i], imul(model.inertia[i], v[i])) for i in range(nq)]
+    if f_ext is not None:
+        pA[-1] = pA[-1] - f_ext
+
+    # pass 2: articulated inertias up the chain
+    U = [None] * nq
+    d = [None] * nq
+    u_ = [None] * nq
+    for i in reversed(range(nq)):
+        U[i] = imul(IA[i], S[i])
+        d[i] = S[i] @ U[i]
+        u_[i] = tau[i] - S[i] @ pA[i]
+        if i > 0:
+            Ia = IA[i] - jnp.outer(U[i], U[i]) / d[i]
+            pa = pA[i] + imul(Ia, c[i]) + U[i] * (u_[i] / d[i])
+            X = jnp.zeros((6, 6), dtype=q.dtype)
+            X = X.at[:3, :3].set(E[i])
+            X = X.at[3:, :3].set(-mm(E[i], skew(r[i])))
+            X = X.at[3:, 3:].set(E[i])
+            IA[i - 1] = IA[i - 1] + mm(mm(X.T, Ia), X)
+            pA[i - 1] = pA[i - 1] + xf_apply_T(E[i], r[i], pa)
+
+    # pass 3: accelerations down the chain
+    a_par = _base_gravity_accel(model, q.dtype)
+    qdd = [None] * nq
+    for i in range(nq):
+        a_p = xm_apply(E[i], r[i], a_par) + c[i]
+        qdd[i] = (u_[i] - U[i] @ a_p) / d[i]
+        a_par = a_p + S[i] * qdd[i]
+    return jnp.stack(qdd)

@@ -119,3 +119,18 @@ class NativeRobot:
         self._lib.rbd_rk4(self._h, _ptr(x), _ptr(u), dt,
                           _ptr(fe) if fe is not None else None, _ptr(out))
         return out
+
+
+def export_model_bin(name_or_path: str, out_path: str) -> None:
+    """Export a robot's constants for the native example binary
+    (native/example.cpp)."""
+    import struct
+
+    from ..robots.model import PLANT_URDFS
+    from ..robots.urdf import parse_urdf
+
+    robot = parse_urdf(PLANT_URDFS.get(name_or_path, name_or_path))
+    with open(out_path, "wb") as f:
+        f.write(struct.pack("i", robot.nq))
+        for arr in (robot.R_tree, robot.p_tree, robot.axis, robot.inertia):
+            f.write(np.ascontiguousarray(arr, np.float64).tobytes())

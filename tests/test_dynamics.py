@@ -184,3 +184,17 @@ def test_vmap_batching(model):
     for i in range(0, B, 5):
         qdd_i = fd(model, q[i], qd[i], tau[i])
         np.testing.assert_allclose(np.asarray(qdd_b[i]), np.asarray(qdd_i), rtol=2e-4, atol=1e-4)
+
+
+def test_aba_matches_crba_fd(model):
+    """ABA (O(n), no mass matrix) agrees with CRBA+Cholesky forward dynamics
+    (parity with the reference's generated-but-unused ABA)."""
+    from gato_tpu.dynamics.algorithms import aba
+
+    q, qd, tau = _rand(model, seed=11)
+    f_ext = jnp.asarray(np.arange(6, dtype=np.float64) - 2.5,
+                        dtype=model.R_tree.dtype)
+    qdd_aba = aba(model, q, qd, tau, f_ext=f_ext)
+    qdd_fd = fd(model, q, qd, tau, f_ext=f_ext)
+    np.testing.assert_allclose(np.asarray(qdd_aba), np.asarray(qdd_fd),
+                               rtol=1e-7, atol=1e-8)
