@@ -42,7 +42,8 @@ def pick_solver(N, B, requested="auto"):
     return "btd" if B >= 32 else "pcg"
 
 
-def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None):
+def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
+                verbose_work=False):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +76,12 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None):
     X = jnp.asarray(np.tile(x0, (B, N, 1)))
     U = jnp.zeros((B, N - 1, nu), jnp.float32)
     lam = jnp.zeros((B, N, nx), jnp.float32)
-    f_ext = jnp.zeros((B, 6), jnp.float32)
+    # Per-lane external-wrench hypotheses, as the reference's fig-8 benchmark
+    # has at B>1 (ForceEstimator lanes): keeps every lane's subproblem
+    # distinct and prevents the converged-early-exit path from trivializing
+    # the measured solve.
+    rng = np.random.default_rng(0)
+    f_ext = jnp.asarray(rng.uniform(-5.0, 5.0, (B, 6)).astype(np.float32))
     dtj = jnp.float32(dt)
 
     # Warm up into MPC steady state (the reference's heatmap numbers average
@@ -102,6 +108,13 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None):
     def f(X, U, lam):
         return solve_batched_jit(model, settings, cp, hp, X, U, lam,
                                  x_s, ref, f_ext, dtj)
+
+    if verbose_work:
+        out = f(X, U, lam)
+        st_ = out[4]
+        print(f"  [work] iters_run={int(st_.num_iters_run)} "
+              f"pcg_iters(lane0)={int(st_.pcg_iters[0, 0])} "
+              f"step(lane0)={float(st_.ls_step_size[0, 0]):.4f}")
 
     # Constant inputs: every rep solves the identical steady-state problem
     # (the single device serializes queued executions; feeding results back

@@ -24,6 +24,7 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None):
             plant_type="iiwa14", N=N, dt=0.03125, batch_size=B,
             pendulum_config=PENDULUM_DEFAULT_PARAMS,
             solver_params=PICKPLACE_SOLVER_PARAMS,
+            control_dt=0.002,  # ~the reference's measured solve times
         )
         _, stats = mpc.run_mpc_goals(
             x0, goals, sim_dt=0.001,

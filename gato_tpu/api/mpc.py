@@ -97,11 +97,15 @@ class MPC_GATO:
         pendulum_config=None,
         solver_params=None,
         realtime=False,
+        control_dt=None,
         seed=0,
     ):
-        """`realtime=False` (default) advances the sim by `dt` per MPC step —
-        deterministic and hardware-independent; `realtime=True` reproduces the
-        reference's wall-clock emulation."""
+        """Per MPC cycle the simulation advances by:
+          - the measured wall-clock solve time if `realtime=True` (the
+            reference's emulation, mpc_controller.py:189-216) — on this
+            image's tunneled TPU that is dominated by transfer latency;
+          - else `control_dt` seconds if given (deterministic stand-in for
+            the reference's ~1-3 ms solve times), defaulting to `dt`."""
         solver_cfg = dict(DEFAULT_SOLVER_PARAMS)
         if solver_params:
             solver_cfg.update(solver_params)
@@ -148,6 +152,7 @@ class MPC_GATO:
         self.batch_size = batch_size
         self.track_full_stats = track_full_stats
         self.realtime = realtime
+        self.control_dt = control_dt
         self.rng = np.random.default_rng(seed)
 
         self.constant_f_ext_world = (
@@ -277,7 +282,8 @@ class MPC_GATO:
             x_last = x_curr
             u_last = XU_best[self.nx: self.nx + self.nu]
 
-            timestep = solve_time if self.realtime else self.dt
+            timestep = (solve_time if self.realtime
+                        else (self.control_dt or self.dt))
             xsim, advanced = self._simulate(xsim, XU_best, timestep, sim_dt)
             total_sim_time += advanced
             x_curr = self._robot_state(xsim)
@@ -364,7 +370,8 @@ class MPC_GATO:
             x_last = x_curr
             u_last = XU_best[self.nx: self.nx + self.nu]
 
-            timestep = solve_time if self.realtime else self.dt
+            timestep = (solve_time if self.realtime
+                        else (self.control_dt or self.dt))
             xsim, advanced = self._simulate(xsim, XU_best, timestep, sim_dt)
             total_sim_time += advanced
             x_curr = self._robot_state(xsim)

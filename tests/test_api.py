@@ -105,6 +105,7 @@ def test_add_pendulum_dofs_and_mass():
 def test_mpc_goals_smoke():
     x0 = np.concatenate([INDY7_START_CONFIGS["ready"], np.zeros(6)]).astype(np.float32)
     mpc = MPC_GATO(plant_type="indy7", N=8, dt=0.01, batch_size=1,
+                   control_dt=0.004,
                    solver_params=dict(DEFAULT_SOLVER_PARAMS, max_sqp_iters=2,
                                       max_pcg_iters=50))
     ee0 = mpc.solver.ee_pos(x0[:6])
