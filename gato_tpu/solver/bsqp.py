@@ -86,7 +86,15 @@ def solve_batched(
         # The Pallas KKT kernel wins on small batches (it collapses hundreds
         # of tiny dispatches); at large batch the array path fuses with the
         # Schur stage and wins end-to-end despite being slower in isolation.
-        if jax.default_backend() == "tpu" and B < 32:
+        # measured on v5e: the kernel wins when it replaces dispatch-bound
+        # tiny-op graphs (small B) and its 1024-item tiles aren't mostly
+        # padding (needs B*(N-1) not too small relative to the tile).
+        auto_pallas = (B <= 4) or (B <= 32 and B * (settings.N - 1) >= 256)
+        use_pallas_kkt = (
+            settings.kkt_kernel == "pallas"
+            or (settings.kkt_kernel == "auto" and auto_pallas)
+        )
+        if jax.default_backend() == "tpu" and use_pallas_kkt:
             kkt = setup_kkt_pallas(model, cp, X, U, x_s, ref, f_ext, dt, itype)
         else:
             kkt = jax.vmap(

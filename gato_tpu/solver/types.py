@@ -29,6 +29,8 @@ class BSQPSettings:
     linear_solver: str = "pcg"  # "pcg": the reference's preconditioned CG
     # (pcg.cuh), fastest at large batch; "btd": direct block-tridiagonal
     # factorization (exact duals, fastest at small batch)
+    kkt_kernel: str = "auto"  # "pallas": fused VMEM KKT kernel; "array":
+    # vmapped XLA path; "auto": pallas for small batches (B < 32) on TPU
     kkt_tol: float = 1e-4  # accepted for parity; the reference's explicit
     # KKT-tolerance exit is disabled in its driver (bsqp.cuh:153 comment)
 
