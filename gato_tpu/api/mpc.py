@@ -48,7 +48,13 @@ def add_pendulum(model: RobotModel, mass=15.0, length=0.3):
 
     bob = spatial_inertia(mass, onp.array([0.0, 0.0, -length]),
                           onp.diag([1e-3, 1e-3, 1e-3]))
-    inertias = onp.stack([onp.zeros((6, 6)), onp.zeros((6, 6)), bob])
+    # Small armature inertia on the (otherwise massless) gimbal links keeps
+    # the mass matrix nonsingular at the y = +-pi/2 gimbal-lock configuration
+    # (the Pinocchio spherical joint the reference uses has no such
+    # singularity; this is the standard regularization for the 3R substitute).
+    armature = onp.zeros((6, 6))
+    armature[:3, :3] = onp.eye(3) * 5e-3
+    inertias = onp.stack([armature, armature, bob])
 
     wide = onp.tile(onp.array([-1e3, 1e3], dtype=dtype), (3, 1))
     cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b, a.dtype)], axis=0)

@@ -6,13 +6,25 @@ any device set: real TPU slice, multi-host (after parallel.sharding.
 init_distributed), or the virtual CPU mesh
 (jax.config.update('jax_platforms','cpu') + xla_force_host_platform_device_count).
 
-Usage: python -m gato_tpu.parallel.scaling_bench [--per-device-batch 64]
+Usage: python -m gato_tpu.parallel.scaling_bench [--per-device-batch 64] --cpu
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# --cpu needs the virtual-device flag set BEFORE jax initializes; re-exec
+# with the environment prepared if it isn't.
+if __name__ == "__main__" and "--cpu" in sys.argv:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+        os.execv(sys.executable, [sys.executable, "-m",
+                                  "gato_tpu.parallel.scaling_bench"] + sys.argv[1:])
 
 import jax
 import jax.numpy as jnp
