@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..robots.model import RobotModel
-from .common import figure8, rk4_step, world_wrench_to_ee_frame
+from .common import rk4_step, world_wrench_to_ee_frame
 from .config import DEFAULT_SOLVER_PARAMS
 from .force_estimator import ForceEstimator
 from .interface import BSQP

@@ -15,12 +15,10 @@ RNEA pass (indy7_fext.cuh:137-142), expressed in the EE link frame with
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from ..ops.batch_linalg import chol_factor, chol_solve, mm, mtv, mv
+from ..ops.batch_linalg import chol_factor, chol_solve, mm, mv
 from ..robots.model import RobotModel
 from .spatial import crf, crm, imul, rodrigues, skew, xf_apply_T, xm_apply
 

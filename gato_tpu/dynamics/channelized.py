@@ -17,10 +17,6 @@ A channel value is one of:
 
 from __future__ import annotations
 
-import math
-
-import numpy as np
-
 from ..robots.urdf import ParsedRobot
 
 _SNAP_TOL = 1e-9  # model constants within this of {0, +-1} are snapped,

@@ -19,8 +19,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..dynamics.algorithms import (ee_position, ee_position_and_jacobian,
-                                   ee_xyz_jacobian, fk)
+from ..dynamics.algorithms import ee_position, ee_position_and_jacobian
 from .batch_linalg import mtv
 from ..robots.model import RobotModel
 

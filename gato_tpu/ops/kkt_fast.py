@@ -10,13 +10,11 @@ forwardDynamicsAndGradient + trackingCostGradientAndHessian, fused.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 
 from ..dynamics.channelized import (ChannelizedDynamics, Dual, chadd, chmul,
                                     chneg, chsub, chsum, mat_vec)
-from ..robots.model import RobotModel, get_parsed
+from ..robots.model import RobotModel
 from .cost import CostParams
 from .kkt import KKTSystem
 from .merit_fast import _get_cd, _limits

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..dynamics.algorithms import fd, fk, joint_transforms
 from ..robots.model import RobotModel
 from .cost import CostParams, barrier, effective_limits, knot_cost
-from .integrators import integrate, sim_step
+from .integrators import integrate
 
 
 def _knot_cost_and_defect(model, cp, x, u, x_next, ref6, f_ext, dt,

@@ -14,7 +14,7 @@ import functools
 
 import jax.numpy as jnp
 
-from ..dynamics.channelized import ChannelizedDynamics, chadd, chmul, chsub
+from ..dynamics.channelized import ChannelizedDynamics, chadd
 from ..robots.model import RobotModel, get_parsed
 from .cost import LIMIT_MARGIN, CostParams
 

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .batch_linalg import block_qinv, chol_inv, diag_inv, gj_inv, mm, mm_t, mv, mtv
+from .batch_linalg import block_qinv, chol_inv, diag_inv, mm, mm_t, mv, mtv
 from .kkt import KKTSystem
 
 RHO_INIT = 1e-3  # settings.h:18

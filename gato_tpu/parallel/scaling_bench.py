@@ -28,7 +28,6 @@ if __name__ == "__main__" and "--cpu" in sys.argv:
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..api.config import DEFAULT_SOLVER_PARAMS as P
 from ..ops.cost import CostParams
