@@ -89,7 +89,8 @@ def solve_batched(
         # measured on v5e: the kernel wins when it replaces dispatch-bound
         # tiny-op graphs (small B) and its 1024-item tiles aren't mostly
         # padding (needs B*(N-1) not too small relative to the tile).
-        auto_pallas = (B <= 4) or (B <= 32 and B * (settings.N - 1) >= 256)
+        auto_pallas = ((B <= 4 and settings.N >= 16)
+                       or (B <= 32 and B * (settings.N - 1) >= 256))
         use_pallas_kkt = (
             settings.kkt_kernel == "pallas"
             or (settings.kkt_kernel == "auto" and auto_pallas)
