@@ -171,7 +171,12 @@ def solve_batched(
         sqp_iters=jnp.zeros(B, dtype=jnp.int32),
         stats=stats0, it=jnp.int32(0), exit=jnp.asarray(False),
     )
-    state = jax.lax.while_loop(cond, body, state)
+    if settings.max_sqp_iters == 1:
+        # single-iteration configuration (the benchmark default): unroll —
+        # the body runs exactly once, no loop machinery needed
+        state = body(state)
+    else:
+        state = jax.lax.while_loop(cond, body, state)
 
     final_merit = merit_b(
         state["X"], state["U"], x_s, ref, f_ext, hp.mu
