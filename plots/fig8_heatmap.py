@@ -42,15 +42,31 @@ def plot(grid, Ns, Bs, out="gato_tpu_solve_time_heatmap.png"):
     print(f"saved -> {out}")
 
 
+def from_bench_grid(path, Ns, Bs):
+    """Load a grid from bench.py --grid output (BENCH_GRID.json)."""
+    with open(path) as f:
+        data = json.load(f)["value"]
+    g = np.zeros((len(Ns), len(Bs)))
+    for i, N in enumerate(Ns):
+        for j, B in enumerate(Bs):
+            g[i, j] = data[f"N{N}_B{B}"]["ms"]
+    return g
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--Ns", type=int, nargs="+", default=[8, 16, 32, 64, 128])
     ap.add_argument("--Bs", type=int, nargs="+", default=[1, 32, 128, 512])
     ap.add_argument("--out", default="gato_tpu_solve_time_heatmap.png")
     ap.add_argument("--json", default=None, help="also dump the grid as JSON")
+    ap.add_argument("--from-json", default=None,
+                    help="plot from a bench.py --grid JSON instead of re-measuring")
     args = ap.parse_args()
-    g = collect(args.Ns, args.Bs)
-    if args.json:
-        with open(args.json, "w") as f:
-            json.dump({"Ns": args.Ns, "Bs": args.Bs, "ms": g.tolist()}, f)
+    if args.from_json:
+        g = from_bench_grid(args.from_json, args.Ns, args.Bs)
+    else:
+        g = collect(args.Ns, args.Bs)
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump({"Ns": args.Ns, "Bs": args.Bs, "ms": g.tolist()}, f)
     plot(g, args.Ns, args.Bs, args.out)
