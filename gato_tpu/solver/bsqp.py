@@ -65,7 +65,26 @@ def solve_batched(
                         jnp.zeros_like(U_), xs_, ref_, fe_, mu_, dt, one,
                         itype)[:, 0]
 
-    merit0 = merit_b(X, U, x_s, ref, f_ext, hp.mu)  # (B,)
+    # Small batches: the warm-start baseline merit (the reference's pre-loop
+    # computeMeritBatched<1>, bsqp.cuh:116) is folded into the first
+    # iteration's alpha sweep as an alpha=0 column — merit(xu + 0*dz) is the
+    # same value, and dropping a kernel launch matters in the dispatch-bound
+    # regime. Only worthwhile when the extra column doesn't grow the Pallas
+    # merit kernel's 1024-item tile count (e.g. N=128 B=1: 8 alphas = 1016
+    # items = 1 tile, 9 alphas = 2 tiles — measured 30% slower folded); at
+    # large batch the extra sweep work always costs more than the saved
+    # launch, so the standalone baseline call is kept there.
+    _A = settings.num_alphas
+    _M = B * (settings.N - 1)
+    if settings.fold_merit0 == "auto":
+        fold_merit0 = (B < 64
+                       and -(-_M * (_A + 1) // 1024) == -(-_M * _A // 1024))
+    else:
+        fold_merit0 = settings.fold_merit0 == "on"
+    alphas_ext = (jnp.concatenate([jnp.zeros((1,), X.dtype), alphas])
+                  if fold_merit0 else alphas)
+    merit0_up_front = (jnp.zeros(B, dtype=X.dtype) if fold_merit0
+                       else merit_b(X, U, x_s, ref, f_ext, hp.mu))
 
     stats0 = dict(
         pcg_iters=jnp.zeros((settings.max_sqp_iters, B), dtype=jnp.int32),
@@ -131,11 +150,19 @@ def solve_batched(
         )
 
         def do_ls(args):
-            X, U, rho, drho, mbase, stats = args
-            merits = merit_fn(
+            X, U, rho, drho, mbase, merit0, stats = args
+            merits_all = merit_fn(
                 model, cp, X, U, dZX, dZU, x_s, ref, f_ext, hp.mu, dt,
-                alphas, itype,
-            )  # (B, A)
+                alphas_ext, itype,
+            )
+            if fold_merit0:
+                # column 0 is the alpha=0 baseline merit(xu); use it as the
+                # first iteration's baseline
+                mbase = jnp.where(it == 0, merits_all[:, 0], mbase)
+                merit0 = jnp.where(it == 0, merits_all[:, 0], merit0)
+                merits = merits_all[:, 1:]
+            else:
+                merits = merits_all
 
             ls = jax.vmap(
                 lambda m, mb, X_, U_, dx_, du_, r_, dr_: line_search_update(
@@ -149,24 +176,36 @@ def solve_batched(
                 ls_min_merit=stats["ls_min_merit"].at[it].set(mbase),
                 ls_step_size=stats["ls_step_size"].at[it].set(step),
             )
-            return X, U, rho, drho, mbase, stats
+            return X, U, rho, drho, mbase, merit0, stats
 
-        X, U, rho, drho, mbase, stats = jax.lax.cond(
+        def skip_ls(args):
+            X, U, rho, drho, mbase, merit0, stats = args
+            if fold_merit0:
+                # early exit before the sweep ran: materialize the warm-start
+                # merit for the stats (the reference computed it up front)
+                m0 = merit_b(X, U, x_s, ref, f_ext, hp.mu)
+                mbase = jnp.where(it == 0, m0, mbase)
+                merit0 = jnp.where(it == 0, m0, merit0)
+            return X, U, rho, drho, mbase, merit0, stats
+
+        X, U, rho, drho, mbase, merit0, stats = jax.lax.cond(
             exit_now,
-            lambda args: args,
+            skip_ls,
             do_ls,
-            (X, U, rho, drho, state["merit_baseline"], stats),
+            (X, U, rho, drho, state["merit_baseline"],
+             state["initial_merit"], stats),
         )
 
         return dict(
             X=X, U=U, lam=lam, rho=rho, drho=drho,
-            merit_baseline=mbase, converged=converged,
+            merit_baseline=mbase, initial_merit=merit0, converged=converged,
             sqp_iters=sqp_iters, stats=stats, it=it + 1, exit=exit_now,
         )
 
     state = dict(
         X=X, U=U, lam=lam, rho=hp.rho, drho=hp.drho,
-        merit_baseline=merit0,
+        merit_baseline=merit0_up_front,
+        initial_merit=merit0_up_front,
         converged=jnp.zeros(B, dtype=bool),
         sqp_iters=jnp.zeros(B, dtype=jnp.int32),
         stats=stats0, it=jnp.int32(0), exit=jnp.asarray(False),
@@ -192,7 +231,7 @@ def solve_batched(
         pcg_iters=state["stats"]["pcg_iters"],
         ls_min_merit=state["stats"]["ls_min_merit"],
         ls_step_size=state["stats"]["ls_step_size"],
-        initial_merit=merit0,
+        initial_merit=state["initial_merit"],
         final_merit=final_merit,
         num_iters_run=state["it"],
     )

@@ -33,6 +33,9 @@ class BSQPSettings:
     # vmapped XLA path; "auto": pallas for small batches (B < 32) on TPU
     kkt_tol: float = 1e-4  # accepted for parity; the reference's explicit
     # KKT-tolerance exit is disabled in its driver (bsqp.cuh:153 comment)
+    fold_merit0: str = "auto"  # fold the warm-start baseline merit into the
+    # first alpha sweep as an alpha=0 column: "auto" (small batch, only when
+    # it doesn't grow the Pallas merit tile count), "on", "off"
 
 
 @jax.tree_util.register_dataclass
