@@ -43,7 +43,17 @@ def pick_solver(N, B, requested="auto"):
 
 
 def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
-                verbose_work=False):
+                verbose_work=False, timing="device"):
+    """Steady-state MPC solve time.
+
+    timing="device": sustained per-solve device time, measured by chaining
+    solves inside one jitted lax.scan (each step warm-starts from the
+    previous solve's output with the start knot re-pinned, i.e. the
+    steady-state MPC iteration) — one host dispatch per chain, so the
+    tunnel's per-dispatch jitter doesn't pollute sub-ms solves. This is
+    also how the framework actually runs closed-loop (api/rollout.py).
+    timing="wall": legacy per-dispatch wall timing (includes host dispatch).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -51,9 +61,9 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
     from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS, INDY7_START_CONFIGS
     from gato_tpu.ops.cost import CostParams
     from gato_tpu.robots.model import load_robot
-    from gato_tpu.solver.bsqp import solve_batched_jit
+    from gato_tpu.solver.bsqp import solve_batched, solve_batched_jit
     from gato_tpu.solver.types import BSQPSettings, HyperParams
-    from gato_tpu.utils.timing import time_fn
+    from gato_tpu.utils.timing import time_fn, time_scan_fn
 
     p = DEFAULT_SOLVER_PARAMS
     model = load_robot(plant)
@@ -79,9 +89,14 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
     # Per-lane external-wrench hypotheses, as the reference's fig-8 benchmark
     # has at B>1 (ForceEstimator lanes): keeps every lane's subproblem
     # distinct and prevents the converged-early-exit path from trivializing
-    # the measured solve.
+    # the measured solve. Lane 0 is the zero hypothesis (the estimator always
+    # carries one, force_estimator.py:85) and drives the simulation — a lane
+    # with a persistent phantom wrench cannot hold the steady state at
+    # max_sqp_iters=1 (its line search starts failing within ~10 cycles).
     rng = np.random.default_rng(0)
-    f_ext = jnp.asarray(rng.uniform(-5.0, 5.0, (B, 6)).astype(np.float32))
+    f_ext_np = rng.uniform(-5.0, 5.0, (B, 6)).astype(np.float32)
+    f_ext_np[0] = 0.0
+    f_ext = jnp.asarray(f_ext_np)
     dtj = jnp.float32(dt)
 
     # Warm up into MPC steady state (the reference's heatmap numbers average
@@ -116,10 +131,59 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
               f"pcg_iters(lane0)={int(st_.pcg_iters[0, 0])} "
               f"step(lane0)={float(st_.ls_step_size[0, 0]):.4f}")
 
-    # Constant inputs: every rep solves the identical steady-state problem
-    # (the single device serializes queued executions; feeding results back
-    # would make the workload history-dependent and irreproducible).
-    return time_fn(f, (X, U, lam))
+    if timing == "wall":
+        # Constant inputs: every rep solves the identical steady-state
+        # problem (the single device serializes queued executions).
+        return time_fn(f, (X, U, lam))
+
+    # Device-sustained timing: chain k MPC cycles in one jitted scan — the
+    # same closed loop as the warm-up (solve -> RK4 sim under the first
+    # planned control -> roll the fig-8 reference window), so every chained
+    # step is the genuine steady-state solve (NOT a frozen re-solve, whose
+    # fixed point drifts into line-search failure). Each cycle includes the
+    # one-knot RK4 sim (a few dynamics evals — small next to the solve, and
+    # charged against us where the reference's timings exclude its sim).
+    traj_dev = jnp.asarray(traj.astype(np.float32))
+    T = traj_dev.shape[0]
+
+    if jax.default_backend() == "tpu":
+        from gato_tpu.ops.pallas_sim import rk4_step_batched_pallas
+
+        # the scalar-shaped XLA rk4 costs ~3.5ms at one lane on this image;
+        # the Pallas kernel runs the whole step on VMEM tiles
+        def sim_chain(x1, u1):
+            return rk4_step_batched_pallas(
+                model, x1[None], u1[None], dtj, substeps=2)[0]
+    else:
+        def sim_chain(x1, u1):
+            return rk4_step(model, x1, u1, dtj, substeps=2)
+
+    def build(k):
+        @jax.jit
+        def run(X, U, lam, x_s, i0):
+            def body(carry, _):
+                Xc, Uc, lamc, xsc, i = carry
+                refc = jax.lax.dynamic_slice(
+                    traj_dev, (i % (T - N), 0), (N, 6))
+                refc = jnp.broadcast_to(refc[None], (B, N, 6))
+                Xo, Uo, lamo, _, st = solve_batched(
+                    model, settings, cp, hp, Xc, Uc, lamc, xsc, refc,
+                    f_ext, dtj)
+                xs1 = sim_chain(xsc[0], Uo[0, 0])
+                xsn = jnp.broadcast_to(xs1[None], (B, nx))
+                Xo = Xo.at[:, 0, :].set(xsn)
+                return ((Xo, Uo, lamo, xsn, i + 1),
+                        (st.pcg_iters[0], st.ls_step_size[0]))
+            carry, work = jax.lax.scan(
+                body, (X, U, lam, x_s, i0), None, length=k)
+            return carry[0], work
+        return run, (X, U, lam, x_s, jnp.int32(step + 1))
+
+    if verbose_work:
+        _, (piters, steps_) = build(8)[0](X, U, lam, x_s, jnp.int32(step + 1))
+        print(f"  [work] chained pcg_iters(lane0)={np.asarray(piters)[:, 0]}"
+              f" step(lane0)={np.asarray(steps_)[:, 0]}")
+    return time_scan_fn(build)
 
 
 def main():
@@ -127,6 +191,7 @@ def main():
     ap.add_argument("--N", type=int, default=32)
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--solver", default="auto", choices=["auto", "pcg", "btd"])
+    ap.add_argument("--timing", default="device", choices=["device", "wall"])
     ap.add_argument("--grid", action="store_true")
     args = ap.parse_args()
 
@@ -134,7 +199,7 @@ def main():
         rows = {}
         for N in (8, 16, 32, 64, 128):
             for B in (1, 32, 128, 512):
-                t = bench_solve(N, B, solver=args.solver)
+                t = bench_solve(N, B, solver=args.solver, timing=args.timing)
                 ref = REFERENCE_MS.get((N, B))
                 rows[f"N{N}_B{B}"] = {
                     "ms": round(t * 1e3, 3),
@@ -146,7 +211,7 @@ def main():
                           "unit": "ms", "vs_baseline": None}))
         return
 
-    t = bench_solve(args.N, args.B, solver=args.solver)
+    t = bench_solve(args.N, args.B, solver=args.solver, timing=args.timing)
     solves_per_s = args.B / t
     print(json.dumps({
         "metric": f"indy7_N{args.N}_B{args.B}_solves_per_s",

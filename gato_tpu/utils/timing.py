@@ -52,3 +52,33 @@ def time_fn(f, args, chain=None, k_small=5, k_big=45, trials=5):
 
 def time_fn_ms(f, args, **kw):
     return time_fn(f, args, **kw) * 1e3
+
+
+def time_scan_fn(build, k_small=5, k_big=45, trials=5):
+    """Device-sustained per-iteration seconds via on-device chaining.
+
+    `build(k)` must return `(fn, args)` where `fn(*args)` runs k data-dependent
+    iterations of the workload inside ONE jitted program (a lax.scan whose
+    carry feeds each step from the previous). The host dispatches each program
+    once, so the ~50-400us-jitter per-dispatch tunnel cost — which dominates
+    `time_fn` for sub-ms workloads — is paid once per k iterations instead of
+    once per iteration. The slope between the two chain lengths is pure
+    device time.
+    """
+    f_small, args_small = build(k_small)
+    f_big, args_big = build(k_big)
+    _sync(f_small(*args_small))
+    _sync(f_big(*args_big))
+
+    def run(f, args):
+        t0 = time.perf_counter()
+        o = f(*args)
+        _sync(o)
+        return time.perf_counter() - t0
+
+    diffs = []
+    for _ in range(trials):
+        t_small = run(f_small, args_small)
+        t_big = run(f_big, args_big)
+        diffs.append((t_big - t_small) / (k_big - k_small))
+    return float(np.median(diffs))
