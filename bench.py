@@ -4,10 +4,12 @@ Workload matches the reference's heatmap benchmark (examples/benchmark_fig8.py
 :80-105 / BASELINE.md): indy7 figure-8 tracking MPC step, DEFAULT solver
 params (max_sqp_iters=1, max_pcg_iters=200, dt=0.01), batched solve latency.
 
-Timing note: on this tunneled TPU runtime, `block_until_ready` does not wait
-for device completion and a device->host read carries ~25 ms of tunnel
-latency, so we time chained executions and take the slope
-(gato_tpu/utils/timing.py).
+Timing note: on this tunneled TPU runtime, per-dispatch wall timing cannot
+resolve sub-ms programs (the dispatch itself costs 50-400us with heavy
+jitter, and block_until_ready does not reliably wait). The default timing
+chains k closed-loop MPC cycles inside ONE jitted fori_loop (data-dependent
+carry) and takes the slope between two chain lengths — pure sustained device
+time per cycle (gato_tpu/utils/timing.py:time_loop_fn).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -46,11 +48,10 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
                 verbose_work=False, timing="device"):
     """Steady-state MPC solve time.
 
-    timing="device": sustained per-solve device time, measured by chaining
-    solves inside one jitted lax.scan (each step warm-starts from the
-    previous solve's output with the start knot re-pinned, i.e. the
-    steady-state MPC iteration) — one host dispatch per chain, so the
-    tunnel's per-dispatch jitter doesn't pollute sub-ms solves. This is
+    timing="device": sustained per-cycle device time, measured by chaining
+    k closed-loop MPC cycles (solve -> RK4 sim -> rolled fig-8 reference
+    window) inside one jitted fori_loop — one host dispatch per chain, so
+    the tunnel's per-dispatch jitter doesn't pollute sub-ms cycles. This is
     also how the framework actually runs closed-loop (api/rollout.py).
     timing="wall": legacy per-dispatch wall timing (includes host dispatch).
     """
@@ -63,7 +64,7 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
     from gato_tpu.robots.model import load_robot
     from gato_tpu.solver.bsqp import solve_batched, solve_batched_jit
     from gato_tpu.solver.types import BSQPSettings, HyperParams
-    from gato_tpu.utils.timing import time_fn, time_scan_fn
+    from gato_tpu.utils.timing import time_fn, time_loop_fn
 
     p = DEFAULT_SOLVER_PARAMS
     model = load_robot(plant)
@@ -158,32 +159,38 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
         def sim_chain(x1, u1):
             return rk4_step(model, x1, u1, dtj, substeps=2)
 
-    def build(k):
-        @jax.jit
-        def run(X, U, lam, x_s, i0):
-            def body(carry, _):
-                Xc, Uc, lamc, xsc, i = carry
-                refc = jax.lax.dynamic_slice(
-                    traj_dev, (i % (T - N), 0), (N, 6))
-                refc = jnp.broadcast_to(refc[None], (B, N, 6))
-                Xo, Uo, lamo, _, st = solve_batched(
-                    model, settings, cp, hp, Xc, Uc, lamc, xsc, refc,
-                    f_ext, dtj)
-                xs1 = sim_chain(xsc[0], Uo[0, 0])
-                xsn = jnp.broadcast_to(xs1[None], (B, nx))
-                Xo = Xo.at[:, 0, :].set(xsn)
-                return ((Xo, Uo, lamo, xsn, i + 1),
-                        (st.pcg_iters[0], st.ls_step_size[0]))
-            carry, work = jax.lax.scan(
-                body, (X, U, lam, x_s, i0), None, length=k)
-            return carry[0], work
-        return run, (X, U, lam, x_s, jnp.int32(step + 1))
+    def cycle(carry):
+        Xc, Uc, lamc, xsc, i = carry
+        refc = jax.lax.dynamic_slice(traj_dev, (i % (T - N), 0), (N, 6))
+        refc = jnp.broadcast_to(refc[None], (B, N, 6))
+        Xo, Uo, lamo, _, st = solve_batched(
+            model, settings, cp, hp, Xc, Uc, lamc, xsc, refc, f_ext, dtj)
+        xs1 = sim_chain(xsc[0], Uo[0, 0])
+        xsn = jnp.broadcast_to(xs1[None], (B, nx))
+        Xo = Xo.at[:, 0, :].set(xsn)
+        return (Xo, Uo, lamo, xsn, i + 1), st
+
+    @jax.jit
+    def run_k(X, U, lam, x_s, i0, k):
+        carry = (X, U, lam, x_s, i0)
+        carry = jax.lax.fori_loop(0, k, lambda _, c: cycle(c)[0], carry)
+        return carry[0]
+
+    args0 = (X, U, lam, x_s, jnp.int32(step + 1))
 
     if verbose_work:
-        _, (piters, steps_) = build(8)[0](X, U, lam, x_s, jnp.int32(step + 1))
+        @jax.jit
+        def run_stats(X, U, lam, x_s, i0):
+            def body(c, _):
+                c, st = cycle(c)
+                return c, (st.pcg_iters[0], st.ls_step_size[0])
+            _, work = jax.lax.scan(body, (X, U, lam, x_s, i0), None, length=8)
+            return work
+        piters, steps_ = run_stats(*args0)
         print(f"  [work] chained pcg_iters(lane0)={np.asarray(piters)[:, 0]}"
               f" step(lane0)={np.asarray(steps_)[:, 0]}")
-    return time_scan_fn(build)
+
+    return time_loop_fn(lambda k: run_k(*args0, jnp.int32(k)))
 
 
 def main():

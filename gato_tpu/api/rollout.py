@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..dynamics.algorithms import fd, fk
 from ..ops.cost import CostParams
+from ..ops.pallas_sim import rk4_step_batched_pallas
 from ..robots.model import RobotModel
 from ..solver.bsqp import solve_batched
 from ..solver.types import BSQPSettings, HyperParams
@@ -90,8 +91,15 @@ def closed_loop_rollout(
         else:
             u_sim = u0
 
-        def sub(x, _):
-            return _rk4(sim_model, x, u_sim, h), None
+        if jax.default_backend() == "tpu":
+            # single-lane XLA rk4 lowers to scalar code (~3.5ms/step on this
+            # image); the Pallas kernel keeps the step on VMEM vector tiles
+            def sub(x, _):
+                return rk4_step_batched_pallas(
+                    sim_model, x[None], u_sim[None], h)[0], None
+        else:
+            def sub(x, _):
+                return _rk4(sim_model, x, u_sim, h), None
 
         x_sim, _ = jax.lax.scan(sub, x_sim, None, length=sim_substeps)
 

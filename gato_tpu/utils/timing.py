@@ -54,6 +54,38 @@ def time_fn_ms(f, args, **kw):
     return time_fn(f, args, **kw) * 1e3
 
 
+def time_loop_fn(run, k_small=5, k_big=45, trials=5, min_chain_s=0.04,
+                 k_max=4000):
+    """Device-sustained per-iteration seconds via on-device chaining with a
+    DYNAMIC chain length.
+
+    `run(k)` must execute k data-dependent iterations of the workload inside
+    one jitted program (a lax.fori_loop whose carry feeds each step) and
+    return device output to sync on. Because k is a runtime argument there is
+    ONE compile, so the chain can be stretched until it dwarfs the
+    per-dispatch tunnel jitter (sub-0.1ms workloads need k in the hundreds —
+    a fixed k=45 lets a single delayed dispatch corrupt the slope by 10x).
+    """
+    _sync(run(k_small))
+    t0 = time.perf_counter()
+    _sync(run(k_big))
+    est = (time.perf_counter() - t0) / k_big
+    if est * (k_big - k_small) < min_chain_s:
+        k_big = min(k_max, max(k_big, int(min_chain_s / max(est, 1e-9))))
+
+    def once(k):
+        t0 = time.perf_counter()
+        _sync(run(k))
+        return time.perf_counter() - t0
+
+    diffs = []
+    for _ in range(trials):
+        t_small = once(k_small)
+        t_big = once(k_big)
+        diffs.append((t_big - t_small) / (k_big - k_small))
+    return float(np.median(diffs))
+
+
 def time_scan_fn(build, k_small=5, k_big=45, trials=5):
     """Device-sustained per-iteration seconds via on-device chaining.
 
