@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: the whole batched PCG Krylov loop in VMEM.
+
+This is the closest TPU analogue of the reference's persistent-kernel PCG
+(gato/bsqp/kernels/pcg.cuh: one 1024-thread block per lane runs the entire
+iteration with all five vectors in shared memory). Under plain XLA the
+`lax.while_loop` body lowers to a serial chain of tiny fusions — at B=1 each
+Krylov iteration costs several microseconds of scalar-lowered ops and a
+40-iteration solve dominates the SQP step. Here the loop runs inside ONE
+kernel on (B_pad, 128) VMEM tiles: batch rows on sublanes, knots on lanes,
+block-tridiagonal matvecs as lane shifts.
+
+Semantics identical to ops/pcg.py::pcg_solve_batched (abs tol + per-lane
+relative tol, counter-before-check, skip lanes, freeze-on-convergence).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pcg import PCG_ABS_TOL
+
+_LANES = 128
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _shift_fwd(x):
+    """x[k-1] at lane k (zero into lane 0)."""
+    z = jnp.zeros((x.shape[0], 1), x.dtype)
+    return jnp.concatenate([z, x[:, :-1]], axis=1)
+
+
+def _shift_back(x):
+    """x[k+1] at lane k (zero into the last lane)."""
+    z = jnp.zeros((x.shape[0], 1), x.dtype)
+    return jnp.concatenate([x[:, 1:], z], axis=1)
+
+
+def _matvec(nx, main, lower, x, valid):
+    """Symmetric block-tridiagonal matvec on channel lists (ops/schur.py::
+    btd_matvec). main/lower: nx*nx channel lists (row-major), x: nx channels;
+    each channel (B_pad, N_pad). Block (k+1, k) of `lower` is stored at lane
+    k; `upper` is its transpose."""
+    y = []
+    for r in range(nx):
+        acc = None
+        t1 = None  # lower @ x, to be shifted forward
+        for c in range(nx):
+            m = main[r * nx + c] * x[c]
+            acc = m if acc is None else acc + m
+            l = lower[r * nx + c] * x[c]
+            t1 = l if t1 is None else t1 + l
+        t2 = None  # lower^T @ x_{k+1}
+        for c in range(nx):
+            u = lower[c * nx + r] * _shift_back(x[c])
+            t2 = u if t2 is None else t2 + u
+        y.append((acc + _shift_fwd(t1) + t2) * valid)
+    return y
+
+
+def _dot(a, b, valid):
+    """Sum over (rows, knots) per batch row, broadcast back over lanes ->
+    (B_pad, N_pad). Full-shape arrays keep every while-carry leaf in the
+    native (8,128) vreg layout — Mosaic cannot legalize padded-layout or
+    boolean vectors in scf.while carries."""
+    acc = None
+    for r in range(len(a)):
+        m = a[r] * b[r]
+        acc = m if acc is None else acc + m
+    s = jnp.sum(acc * valid, axis=1, keepdims=True)
+    return jnp.broadcast_to(s, acc.shape)
+
+
+def _pcg_kernel(nx, N, max_iters, chans_ref, out_ref):
+    idx = 0
+
+    def take(n):
+        nonlocal idx
+        out = [chans_ref[idx + i] for i in range(n)]
+        idx += n
+        return out
+
+    S_main = take(nx * nx)
+    S_lower = take(nx * nx)
+    P_main = take(nx * nx)
+    P_lower = take(nx * nx)
+    gamma = take(nx)
+    lam = take(nx)
+    epsilon = take(1)[0]  # (B_pad, N_pad), constant over lanes
+    skip = take(1)[0]  # (B_pad, N_pad), 1.0 = skip
+
+    shape = gamma[0].shape
+    valid = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+             < N).astype(gamma[0].dtype)
+
+    r = [gamma[i] - y for i, y in
+         enumerate(_matvec(nx, S_main, S_lower, lam, valid))]
+    z = _matvec(nx, P_main, P_lower, r, valid)
+    p = list(z)
+    rho = _dot(r, z, valid)
+    rho_init = jnp.abs(rho)
+    # active/converged masks stay f32 0/1: boolean vectors cannot cross the
+    # scf.while carry boundary in Mosaic
+    active = ((skip < 0.5) & (jnp.abs(rho) >= PCG_ABS_TOL)).astype(rho.dtype)
+    iters = jnp.zeros_like(rho)
+
+    def cond(state):
+        _, _, _, _, active, _, it = state
+        # full-(8,128) reduce to a scalar: 1-D slices can't be reduced in
+        # Mosaic (vector.multi_reduction on sublane vectors fails)
+        return jnp.logical_and(it < max_iters, jnp.max(active) > 0.5)
+
+    def body(state):
+        lam, r, p, rho, active, iters, it = state
+        iters = iters + active
+
+        Ap = _matvec(nx, S_main, S_lower, p, valid)
+        pAp = _dot(p, Ap, valid)
+        alpha = rho / jnp.where(pAp == 0, 1.0, pAp)
+        am = active * alpha
+        lam = [lam[i] + am * p[i] for i in range(nx)]
+        r = [r[i] - am * Ap[i] for i in range(nx)]
+
+        z = _matvec(nx, P_main, P_lower, r, valid)
+        rho_new = _dot(r, z, valid)
+        converged = jnp.abs(rho_new) < (PCG_ABS_TOL + epsilon * rho_init)
+
+        beta = rho_new / jnp.where(rho == 0, 1.0, rho)
+        kf = active * jnp.where(converged, 0.0, 1.0)
+        p = [kf * (z[i] + beta * p[i]) + (1.0 - kf) * p[i] for i in range(nx)]
+        rho = jnp.where(kf > 0.5, rho_new, rho)
+        return lam, r, p, rho, kf, iters, it + 1
+
+    lam, _, _, _, _, iters, _ = jax.lax.while_loop(
+        cond, body, (lam, r, p, rho, active, iters, jnp.int32(0)))
+
+    for i in range(nx):
+        out_ref[i] = lam[i]
+    out_ref[nx] = iters
+
+
+def _pack(ms, B_pad, N_pad):
+    """(B, N', nx, nx) or (B, N', nx) -> channel-major (C, B_pad, N_pad)."""
+    B = ms.shape[0]
+    Np = ms.shape[1]
+    C = int(np_prod(ms.shape[2:]))
+    ch = ms.reshape(B, Np, C).transpose(2, 0, 1)
+    return jnp.pad(ch, ((0, 0), (0, B_pad - B), (0, N_pad - Np)))
+
+
+def np_prod(t):
+    out = 1
+    for v in t:
+        out *= v
+    return out
+
+
+def pcg_solve_batched_pallas(S_main, S_lower, P_main, P_lower, gamma, lam0,
+                             epsilon, max_iters: int, skip):
+    """Drop-in for ops/pcg.py::pcg_solve_batched, whole loop in one kernel.
+    Shapes: S_main (B, N, nx, nx), S_lower (B, N-1, nx, nx), gamma/lam0
+    (B, N, nx), epsilon/skip (B,). Intended for B <= 32 (VMEM bound)."""
+    B, N, nx = gamma.shape
+    B_pad = max(8, -(-B // 8) * 8)
+    N_pad = -(-N // _LANES) * _LANES
+    dt = gamma.dtype
+
+    chans = jnp.concatenate([
+        _pack(S_main, B_pad, N_pad),
+        _pack(S_lower, B_pad, N_pad),
+        _pack(P_main, B_pad, N_pad),
+        _pack(P_lower, B_pad, N_pad),
+        _pack(gamma, B_pad, N_pad),
+        _pack(lam0, B_pad, N_pad),
+        jnp.pad(jnp.broadcast_to(epsilon.astype(dt)[None, :, None],
+                                 (1, B, N_pad)),
+                ((0, 0), (0, B_pad - B), (0, 0))),
+        jnp.pad(jnp.broadcast_to(skip.astype(dt)[None, :, None],
+                                 (1, B, N_pad)),
+                ((0, 0), (0, B_pad - B), (0, 0))),
+    ], axis=0)
+    C_in = chans.shape[0]
+
+    kernel = functools.partial(_pcg_kernel, nx, N, max_iters)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nx + 1, B_pad, N_pad), dt),
+        interpret=_interpret(),
+    )(chans)
+    lam = out[:nx, :B, :N].transpose(1, 2, 0)
+    iters = out[nx, :B, 0].astype(jnp.int32)
+    return lam, iters

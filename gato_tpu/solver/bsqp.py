@@ -29,6 +29,7 @@ from ..ops.merit_fast import merit_alphas_batched
 from ..ops.pallas_merit import merit_alphas_batched_pallas
 from ..ops.btd_solve import btd_solve_batched
 from ..ops.pcg import pcg_solve_batched
+from ..ops.pallas_pcg import pcg_solve_batched_pallas
 from ..ops.schur import build_schur, compute_dz
 from ..robots.model import RobotModel
 from ..ops.cost import CostParams
@@ -128,11 +129,29 @@ def solve_batched(
         )(kkt, rho)
 
         if use_pcg:
-            lam, pcg_iters = pcg_solve_batched(
-                schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
-                schur.gamma, lam, hp.pcg_tol, settings.max_pcg_iters,
-                skip=converged,
+            # VMEM bound for the whole-loop kernel: 4 BTD matrices + vectors
+            # as (B_pad, N_pad) channels
+            B_pad = max(8, -(-B // 8) * 8)
+            N_pad = -(-settings.N // 128) * 128
+            nx = 2 * model.nq
+            vmem = (4 * nx * nx + 2 * nx + 2) * B_pad * N_pad * 4
+            use_pallas_pcg = (
+                settings.pcg_kernel == "pallas"
+                or (settings.pcg_kernel == "auto" and B <= 32
+                    and vmem <= 10 * 2**20)
             )
+            if jax.default_backend() == "tpu" and use_pallas_pcg:
+                lam, pcg_iters = pcg_solve_batched_pallas(
+                    schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
+                    schur.gamma, lam, hp.pcg_tol, settings.max_pcg_iters,
+                    skip=converged,
+                )
+            else:
+                lam, pcg_iters = pcg_solve_batched(
+                    schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
+                    schur.gamma, lam, hp.pcg_tol, settings.max_pcg_iters,
+                    skip=converged,
+                )
         else:
             lam, pcg_iters = btd_solve_batched(
                 schur.S_main, schur.S_lower, schur.gamma, lam, skip=converged,

@@ -36,6 +36,9 @@ class BSQPSettings:
     fold_merit0: str = "auto"  # fold the warm-start baseline merit into the
     # first alpha sweep as an alpha=0 column: "auto" (small batch, only when
     # it doesn't grow the Pallas merit tile count), "on", "off"
+    pcg_kernel: str = "auto"  # "pallas": whole Krylov loop in one VMEM
+    # kernel (ops/pallas_pcg.py, the reference's persistent-kernel design);
+    # "xla": lax.while_loop; "auto": pallas on TPU at small batch
 
 
 @jax.tree_util.register_dataclass
