@@ -197,6 +197,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--N", type=int, default=32)
     ap.add_argument("--B", type=int, default=512)
+    ap.add_argument("--plant", default="indy7", choices=["indy7", "iiwa14"])
     ap.add_argument("--solver", default="auto", choices=["auto", "pcg", "btd"])
     ap.add_argument("--timing", default="device", choices=["device", "wall"])
     ap.add_argument("--grid", action="store_true")
@@ -206,7 +207,7 @@ def main():
         rows = {}
         for N in (8, 16, 32, 64, 128):
             for B in (1, 32, 128, 512):
-                t = bench_solve(N, B, solver=args.solver, timing=args.timing)
+                t = bench_solve(N, B, plant=args.plant, solver=args.solver, timing=args.timing)
                 ref = REFERENCE_MS.get((N, B))
                 rows[f"N{N}_B{B}"] = {
                     "ms": round(t * 1e3, 3),
@@ -218,10 +219,10 @@ def main():
                           "unit": "ms", "vs_baseline": None}))
         return
 
-    t = bench_solve(args.N, args.B, solver=args.solver, timing=args.timing)
+    t = bench_solve(args.N, args.B, plant=args.plant, solver=args.solver, timing=args.timing)
     solves_per_s = args.B / t
     print(json.dumps({
-        "metric": f"indy7_N{args.N}_B{args.B}_solves_per_s",
+        "metric": f"{args.plant}_N{args.N}_B{args.B}_solves_per_s",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 4),

@@ -54,7 +54,7 @@ def time_fn_ms(f, args, **kw):
     return time_fn(f, args, **kw) * 1e3
 
 
-def time_loop_fn(run, k_small=5, k_big=45, trials=5, min_chain_s=0.04,
+def time_loop_fn(run, k_small=5, k_big=45, trials=5, min_chain_s=0.15,
                  k_max=4000):
     """Device-sustained per-iteration seconds via on-device chaining with a
     DYNAMIC chain length.
@@ -63,8 +63,13 @@ def time_loop_fn(run, k_small=5, k_big=45, trials=5, min_chain_s=0.04,
     one jitted program (a lax.fori_loop whose carry feeds each step) and
     return device output to sync on. Because k is a runtime argument there is
     ONE compile, so the chain can be stretched until it dwarfs the
-    per-dispatch tunnel jitter (sub-0.1ms workloads need k in the hundreds —
+    per-dispatch tunnel jitter (sub-0.1ms workloads need k in the thousands —
     a fixed k=45 lets a single delayed dispatch corrupt the slope by 10x).
+
+    The estimate is the slope between the MINIMA of the two chain lengths:
+    tunnel/sync hiccups (tens of ms, occasionally 100ms+) only ever ADD
+    time, so per-sample minima converge to the clean runs where medians of
+    per-pair slopes still swallow sign-flipping errors.
     """
     _sync(run(k_small))
     t0 = time.perf_counter()
@@ -78,12 +83,11 @@ def time_loop_fn(run, k_small=5, k_big=45, trials=5, min_chain_s=0.04,
         _sync(run(k))
         return time.perf_counter() - t0
 
-    diffs = []
+    t_smalls, t_bigs = [], []
     for _ in range(trials):
-        t_small = once(k_small)
-        t_big = once(k_big)
-        diffs.append((t_big - t_small) / (k_big - k_small))
-    return float(np.median(diffs))
+        t_smalls.append(once(k_small))
+        t_bigs.append(once(k_big))
+    return (min(t_bigs) - min(t_smalls)) / (k_big - k_small)
 
 
 def time_scan_fn(build, k_small=5, k_big=45, trials=5):
