@@ -78,28 +78,14 @@ def _dot(a, b, valid):
     return jnp.broadcast_to(s, acc.shape)
 
 
-def _pcg_kernel(nx, N, max_iters, chans_ref, out_ref):
-    idx = 0
+def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,
+                 lam, epsilon, skip, valid):
+    """The whole Krylov loop on channel lists (each channel (S, L): batch on
+    sublanes, knots on lanes). Shared between the standalone PCG kernel and
+    the fused SQP-iteration kernel (ops/pallas_iter.py).
 
-    def take(n):
-        nonlocal idx
-        out = [chans_ref[idx + i] for i in range(n)]
-        idx += n
-        return out
-
-    S_main = take(nx * nx)
-    S_lower = take(nx * nx)
-    P_main = take(nx * nx)
-    P_lower = take(nx * nx)
-    gamma = take(nx)
-    lam = take(nx)
-    epsilon = take(1)[0]  # (B_pad, N_pad), constant over lanes
-    skip = take(1)[0]  # (B_pad, N_pad), 1.0 = skip
-
-    shape = gamma[0].shape
-    valid = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-             < N).astype(gamma[0].dtype)
-
+    epsilon/skip: (S, L) channels constant over lanes; valid: (S, L) 0/1 mask
+    of real knots. Returns (lam channels, iteration-count channel)."""
     r = [gamma[i] - y for i, y in
          enumerate(_matvec(nx, S_main, S_lower, lam, valid))]
     z = _matvec(nx, P_main, P_lower, r, valid)
@@ -140,7 +126,33 @@ def _pcg_kernel(nx, N, max_iters, chans_ref, out_ref):
 
     lam, _, _, _, _, iters, _ = jax.lax.while_loop(
         cond, body, (lam, r, p, rho, active, iters, jnp.int32(0)))
+    return lam, iters
 
+
+def _pcg_kernel(nx, N, max_iters, chans_ref, out_ref):
+    idx = 0
+
+    def take(n):
+        nonlocal idx
+        out = [chans_ref[idx + i] for i in range(n)]
+        idx += n
+        return out
+
+    S_main = take(nx * nx)
+    S_lower = take(nx * nx)
+    P_main = take(nx * nx)
+    P_lower = take(nx * nx)
+    gamma = take(nx)
+    lam = take(nx)
+    epsilon = take(1)[0]  # (B_pad, N_pad), constant over lanes
+    skip = take(1)[0]  # (B_pad, N_pad), 1.0 = skip
+
+    shape = gamma[0].shape
+    valid = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+             < N).astype(gamma[0].dtype)
+
+    lam, iters = pcg_channels(nx, max_iters, S_main, S_lower, P_main,
+                              P_lower, gamma, lam, epsilon, skip, valid)
     for i in range(nx):
         out_ref[i] = lam[i]
     out_ref[nx] = iters
