@@ -140,6 +140,51 @@ def mat_vec(A, v):
     return [chdot(A[i], v) for i in range(3)]
 
 
+def ch_chol_factor_n(M, n):
+    """Unrolled Cholesky of an n x n SPD channel matrix (list of rows).
+    Returns (L rows, inv_diag channels). Generic-n version of
+    ChannelizedDynamics.chol_factor."""
+    import jax.numpy as jnp
+
+    L = [[None] * n for _ in range(n)]
+    inv_d = [None] * n
+    for j in range(n):
+        d = chsub(M[j][j], chsum([chmul(L[j][k], L[j][k]) for k in range(j)]))
+        Ld = jnp.sqrt(d)
+        L[j][j] = Ld
+        inv_d[j] = 1.0 / Ld
+        for i2 in range(j + 1, n):
+            s = chsub(M[i2][j],
+                      chsum([chmul(L[i2][k], L[j][k]) for k in range(j)]))
+            L[i2][j] = chmul(s, inv_d[j])
+    return L, inv_d
+
+
+def ch_chol_solve_n(L, inv_d, b, n):
+    """Solve A x = b from ch_chol_factor_n channels; b: n channels."""
+    y = [None] * n
+    for i2 in range(n):
+        s = chsub(b[i2], chsum([chmul(L[i2][k], y[k]) for k in range(i2)]))
+        y[i2] = chmul(s, inv_d[i2])
+    x = [None] * n
+    for i2 in reversed(range(n)):
+        s = chsub(y[i2],
+                  chsum([chmul(L[k][i2], x[k]) for k in range(i2 + 1, n)]))
+        x[i2] = chmul(s, inv_d[i2])
+    return x
+
+
+def ch_chol_inv_n(M, n):
+    """SPD inverse of an n x n channel matrix: n unit-column solves (the
+    structural sparsity of e_c folds roughly half the substitution work)."""
+    L, inv_d = ch_chol_factor_n(M, n)
+    cols = [ch_chol_solve_n(L, inv_d,
+                            [1.0 if r == c else None for r in range(n)], n)
+            for c in range(n)]
+    # cols[c][r] = (M^-1)[r][c]; return as rows
+    return [[cols[c][r] for c in range(n)] for r in range(n)]
+
+
 def mat_T_vec(A, v):
     return [chdot([A[0][i], A[1][i], A[2][i]], v) for i in range(3)]
 

@@ -85,15 +85,22 @@ def _fd_and_grad_channels(cd: ChannelizedDynamics, q, qd, u, fe):
     return qdd, dqdd, Minv, fk
 
 
-def kkt_knot_channels(cd: ChannelizedDynamics, key: str, cp: CostParams,
-                      q, qd, u, xn, r3, fe, dt, integrator_type: int,
-                      like):
-    """Per-work-item KKT channels for non-terminal knots. Returns the flat
-    channel list [A (nx*nx row-major), B (nx*nu), c (nx), Q (nx*nx), qv (nx),
-    R_diag (nu), rv (nu)] — usable on (M,) arrays (XLA) or (8,128) VMEM
-    blocks (Pallas)."""
+def kkt_knot_channels_structured(cd: ChannelizedDynamics, key: str,
+                                 cp: CostParams, q, qd, u, xn, r3, fe, dt,
+                                 integrator_type: int, like, w_track=None):
+    """Per-work-item KKT channels for non-terminal knots, in structured form
+    (channel lists that keep `None` structural zeros — the fused iteration
+    kernel exploits the Q block sparsity). Returns (A_ch nx x nx, B_ch nx x nu,
+    c_ch nx, Q_ch nx x nx, qv nx, R_diag nu, rv nu).
+
+    w_track: optional channel overriding cp.q_cost as the tracking weight —
+    pass `where(lane == N-1, N_cost, q_cost)` to make the same formula emit
+    the terminal-knot cost blocks (identical to terminal_cost_channels) on
+    the last lane of a knots-on-lanes layout."""
     nq = cd.nq
     nx = 2 * nq
+    if w_track is None:
+        w_track = cp.q_cost
 
     qdd, dqdd, Minv, (p_ee, Rws, pws) = _fd_and_grad_channels(cd, q, qd, u, fe)
 
@@ -173,13 +180,25 @@ def kkt_knot_channels(cd: ChannelizedDynamics, key: str, cp: CostParams,
                                     + cp.vel_lim_cost * bg_qd[i] * bg_qd[i])
         return Q_ch, grad_q + grad_qd
 
-    Q_ch, qv = cost_blocks(q, qd, p_ee, Rws, pws, r3, cp.q_cost)  # r3: 3 channels
+    Q_ch, qv = cost_blocks(q, qd, p_ee, Rws, pws, r3, w_track)  # r3: 3 channels
     bg_u = [_barrier_grad(u[i], float(clo[i]), float(chi[i]))
             for i in range(nq)]
     rv = [cp.u_cost * u[i] + cp.ctrl_lim_cost * bg_u[i] for i in range(nq)]
     R_diag = [cp.u_cost + cp.ctrl_lim_cost * bg_u[i] * bg_u[i]
               for i in range(nq)]
+    return A_ch, B_ch, c_ch, Q_ch, qv, R_diag, rv
 
+
+def kkt_knot_channels(cd: ChannelizedDynamics, key: str, cp: CostParams,
+                      q, qd, u, xn, r3, fe, dt, integrator_type: int,
+                      like):
+    """Per-work-item KKT channels for non-terminal knots. Returns the flat
+    channel list [A (nx*nx row-major), B (nx*nu), c (nx), Q (nx*nx), qv (nx),
+    R_diag (nu), rv (nu)] — usable on (M,) arrays (XLA) or (8,128) VMEM
+    blocks (Pallas)."""
+    nx = 2 * cd.nq
+    A_ch, B_ch, c_ch, Q_ch, qv, R_diag, rv = kkt_knot_channels_structured(
+        cd, key, cp, q, qd, u, xn, r3, fe, dt, integrator_type, like)
     flat = []
     for r in range(nx):
         flat.extend(A_ch[r])

@@ -30,6 +30,7 @@ from ..ops.pallas_merit import merit_alphas_batched_pallas
 from ..ops.btd_solve import btd_solve_batched
 from ..ops.pcg import pcg_solve_batched
 from ..ops.pallas_pcg import pcg_solve_batched_pallas
+from ..ops.pallas_iter import sqp_iter_pallas
 from ..ops.schur import build_schur, compute_dz
 from ..robots.model import RobotModel
 from ..ops.cost import CostParams
@@ -97,6 +98,22 @@ def solve_batched(
         it = state["it"]
         return jnp.logical_and(it < settings.max_sqp_iters, ~state["exit"])
 
+    use_pcg_g = settings.linear_solver == "pcg"
+    # "fused" forces the kernel on any backend (interpret mode in CI);
+    # "auto" only engages it on TPU at small batch
+    use_fused_iter = use_pcg_g and (
+        settings.iter_kernel == "fused"
+        or (settings.iter_kernel == "auto" and B <= 8
+            and settings.N <= 128 and jax.default_backend() == "tpu")
+    )
+
+    def fused_iter(X, U, lam, rho, converged):
+        """The whole KKT+Schur+PCG+dz core in one VMEM kernel — the TPU
+        persistent-kernel answer to bsqp.cuh:121-177's launch sequence."""
+        return sqp_iter_pallas(
+            model, cp, X, U, x_s, ref, f_ext, lam, rho, hp.pcg_tol,
+            converged, dt, settings.max_pcg_iters, itype)
+
     def body(state):
         X, U, lam = state["X"], state["U"], state["lam"]
         rho, drho = state["rho"], state["drho"]
@@ -110,6 +127,11 @@ def solve_batched(
         # scalar-lowered there and the kernel's tile padding buys nothing)
         # and at short horizons / large batch where XLA's cross-stage fusion
         # with Schur dominates.
+        if use_fused_iter:
+            dZX, dZU, lam, pcg_iters = fused_iter(X, U, lam, rho, converged)
+            return after_solve(state, X, U, lam, rho, drho, converged, it,
+                               dZX, dZU, pcg_iters)
+
         auto_pallas = B <= 32 and B * (settings.N - 1) >= 900
         use_pallas_kkt = (
             settings.kkt_kernel == "pallas"
@@ -157,7 +179,13 @@ def solve_batched(
                 schur.S_main, schur.S_lower, schur.gamma, lam, skip=converged,
             )
         dZX, dZU, _, _ = jax.vmap(compute_dz)(kkt, schur, lam)
+        return after_solve(state, X, U, lam, rho, drho, converged, it,
+                           dZX, dZU, pcg_iters)
 
+    def after_solve(state, X, U, lam, rho, drho, converged, it,
+                    dZX, dZU, pcg_iters):
+        """Convergence bookkeeping + merit sweep + line search — the shared
+        tail of one SQP iteration (bsqp.cuh:160-177)."""
         converged = jnp.logical_or(converged, pcg_iters == 0)
         num_solved = jnp.sum(converged.astype(jnp.int32))
         exit_now = num_solved >= B * settings.solve_ratio

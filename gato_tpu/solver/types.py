@@ -39,6 +39,10 @@ class BSQPSettings:
     pcg_kernel: str = "auto"  # "pallas": whole Krylov loop in one VMEM
     # kernel (ops/pallas_pcg.py, the reference's persistent-kernel design);
     # "xla": lax.while_loop; "auto": pallas on TPU at small batch
+    iter_kernel: str = "auto"  # "fused": the whole KKT+Schur+PCG+dz
+    # iteration core in ONE VMEM kernel (ops/pallas_iter.py — the TPU
+    # analogue of the reference's persistent-kernel solve); "off": staged
+    # kernels; "auto": fused on TPU at small batch with the pcg solver
 
 
 @jax.tree_util.register_dataclass
