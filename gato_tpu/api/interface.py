@@ -113,6 +113,10 @@ class BSQP:
         self.XU_B = np.zeros((B, self.N * (self.nx + self.nu) - self.nu),
                              dtype=np.float32)
         self.stats = {}
+        # sustained on-device per-solve time (us), set by
+        # calibrate_device_time(); wall-clock sqp_time_us on this runtime
+        # includes ~25 ms of tunnel latency and cannot time sub-ms solves
+        self.device_solve_time_us = None
 
     # ---- trajectory layout helpers (reference flat XU layout,
     # constants.h:22: [x_0, u_0, x_1, u_1, ..., x_{N-1}]) ----
@@ -171,6 +175,7 @@ class BSQP:
         initial_merit = np.asarray(st.initial_merit)
         self.stats = {
             "sqp_time_us": solve_time_us,
+            "sqp_time_us_device": self.device_solve_time_us,
             "sqp_iters": np.asarray(st.sqp_iters, np.int32),
             "kkt_converged": np.asarray(st.kkt_converged, np.int32),
             "final_merit": np.asarray(st.final_merit, np.float32),
@@ -191,6 +196,50 @@ class BSQP:
         else:
             self.stats["best_merit_per_iter_normalized"] = best_per_iter
         return self.XU_B, solve_time_us
+
+    def calibrate_device_time(self, xcur_B, eepos_goals_B, XU_B=None):
+        """Measure the sustained per-solve DEVICE time for this
+        (plant, N, B, settings) by chaining k warm-started re-solves inside
+        one jitted fori_loop and taking the slope between two chain lengths
+        (utils/timing.py:time_loop_fn — the only trustworthy method on the
+        tunneled runtime, where block_until_ready does not wait and every
+        dispatch carries 50-400us of jitter). The result is cached, reported
+        as stats['sqp_time_us_device'] by subsequent solve() calls, and used
+        by the MPC realtime emulation instead of the tunnel-polluted wall
+        clock. Costs a few hundred chained solves once."""
+        from ..solver.bsqp import solve_batched
+        from ..utils.timing import time_loop_fn
+
+        B = self.batch_size
+        xcur_B = np.asarray(xcur_B, np.float32).reshape(B, self.nx)
+        ref = np.asarray(eepos_goals_B, np.float32).reshape(B, self.N, 6)
+        if XU_B is None:
+            XU_B = self.XU_B
+        XU_B = np.asarray(XU_B, np.float32).reshape(B, -1).copy()
+        XU_B[:, : self.nx] = xcur_B
+        X, U = self._unflatten(XU_B)
+        lam = self.lam
+        model, settings, cpar, hp = (self.model, self.settings,
+                                     self.cost_params, self.hp)
+        x_s = jnp.asarray(xcur_B)
+        refj = jnp.asarray(ref)
+        fe = self.f_ext_B
+        dtj = jnp.float32(self.dt)
+
+        def cycle(c):
+            Xc, Uc, lamc = c
+            Xo, Uo, lamo, _, _ = solve_batched(
+                model, settings, cpar, hp, Xc, Uc, lamc, x_s, refj, fe, dtj)
+            return (Xo.at[:, 0, :].set(x_s), Uo, lamo)
+
+        @jax.jit
+        def run_k(Xc, Uc, lamc, k):
+            return jax.lax.fori_loop(0, k, lambda _, c: cycle(c),
+                                     (Xc, Uc, lamc))[0]
+
+        t = time_loop_fn(lambda k: run_k(X, U, lam, jnp.int32(k)))
+        self.device_solve_time_us = float(t * 1e6)
+        return self.device_solve_time_us
 
     def sim_forward(self, xk, uk, sim_dt):
         """Batched one-step rollout of (xk, uk) under each lane's f_ext

@@ -107,9 +107,12 @@ class MPC_GATO:
         seed=0,
     ):
         """Per MPC cycle the simulation advances by:
-          - the measured wall-clock solve time if `realtime=True` (the
-            reference's emulation, mpc_controller.py:189-216) — on this
-            image's tunneled TPU that is dominated by transfer latency;
+          - the measured solve time if `realtime=True` (the reference's
+            emulation, mpc_controller.py:189-216). The solver's sustained
+            per-solve DEVICE time is calibrated once at the start
+            (BSQP.calibrate_device_time) and used from then on — the
+            wall-clock time on this image's tunneled TPU is dominated by
+            ~25 ms transfer latency and would be meaningless;
           - else `control_dt` seconds if given (deterministic stand-in for
             the reference's ~1-3 ms solve times), defaulting to `dt`."""
         solver_cfg = dict(DEFAULT_SOLVER_PARAMS)
@@ -241,6 +244,20 @@ class MPC_GATO:
         self.force_estimator.update(best, errors, alpha=0.6, beta=0.5)
         return best
 
+    def _cycle_timestep(self, solve_time):
+        """Seconds the plant advances per MPC cycle. In realtime mode the
+        calibrated device time wins over the tunnel-polluted wall clock."""
+        if not self.realtime:
+            return self.control_dt or self.dt
+        dev = self.solver.device_solve_time_us
+        return dev * 1e-6 if dev else solve_time
+
+    def _maybe_calibrate(self, x_curr, ee_g_batch, XU_batch):
+        """One-time device-time calibration for realtime emulation."""
+        if self.realtime and self.solver.device_solve_time_us is None:
+            self.solver.calibrate_device_time(
+                np.tile(x_curr, (self.batch_size, 1)), ee_g_batch, XU_batch)
+
     def _simulate(self, xsim, XU_best, timestep, sim_dt):
         """Advance the sim by `timestep`, stepping controls along the plan."""
         nsteps = max(1, int(round(timestep / sim_dt)))
@@ -282,14 +299,14 @@ class MPC_GATO:
         self.update_force_batch(x_curr[: self.nq_robot])
         XU_batch, _ = self.solver.solve(np.tile(x_curr, (B, 1)), ee_g_batch, XU_batch)
         XU_best = XU_batch[0]
+        self._maybe_calibrate(x_curr, ee_g_batch, XU_batch)
 
         solve_time = self.dt
         while total_sim_time < sim_time:
             x_last = x_curr
             u_last = XU_best[self.nx: self.nx + self.nu]
 
-            timestep = (solve_time if self.realtime
-                        else (self.control_dt or self.dt))
+            timestep = self._cycle_timestep(solve_time)
             xsim, advanced = self._simulate(xsim, XU_best, timestep, sim_dt)
             total_sim_time += advanced
             x_curr = self._robot_state(xsim)
@@ -369,6 +386,7 @@ class MPC_GATO:
         self.update_force_batch(x_curr[: self.nq_robot])
         XU_batch, _ = self.solver.solve(np.tile(x_curr, (B, 1)), ee_g_batch, XU_batch)
         XU_best = XU_batch[0]
+        self._maybe_calibrate(x_curr, ee_g_batch, XU_batch)
 
         goal_start_time = total_sim_time
         solve_time = self.dt
@@ -376,8 +394,7 @@ class MPC_GATO:
             x_last = x_curr
             u_last = XU_best[self.nx: self.nx + self.nu]
 
-            timestep = (solve_time if self.realtime
-                        else (self.control_dt or self.dt))
+            timestep = self._cycle_timestep(solve_time)
             xsim, advanced = self._simulate(xsim, XU_best, timestep, sim_dt)
             total_sim_time += advanced
             x_curr = self._robot_state(xsim)

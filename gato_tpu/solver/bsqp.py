@@ -133,11 +133,14 @@ def solve_batched(
                                dZX, dZU, pcg_iters)
 
         auto_pallas = B <= 32 and B * (settings.N - 1) >= 900
+        # explicit "pallas" forces the kernel on any backend (interpret mode
+        # in CI); "auto" only engages it on TPU
         use_pallas_kkt = (
             settings.kkt_kernel == "pallas"
-            or (settings.kkt_kernel == "auto" and auto_pallas)
+            or (settings.kkt_kernel == "auto" and auto_pallas
+                and jax.default_backend() == "tpu")
         )
-        if jax.default_backend() == "tpu" and use_pallas_kkt:
+        if use_pallas_kkt:
             kkt = setup_kkt_pallas(model, cp, X, U, x_s, ref, f_ext, dt, itype)
         else:
             kkt = jax.vmap(
@@ -160,9 +163,10 @@ def solve_batched(
             use_pallas_pcg = (
                 settings.pcg_kernel == "pallas"
                 or (settings.pcg_kernel == "auto" and B <= 32
-                    and vmem <= 10 * 2**20)
+                    and vmem <= 10 * 2**20
+                    and jax.default_backend() == "tpu")
             )
-            if jax.default_backend() == "tpu" and use_pallas_pcg:
+            if use_pallas_pcg:
                 lam, pcg_iters = pcg_solve_batched_pallas(
                     schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
                     schur.gamma, lam, hp.pcg_tol, settings.max_pcg_iters,

@@ -1,0 +1,118 @@
+"""Closed-loop fig-8 tracking-error parity artifact (VERDICT round-1 item 3,
+BASELINE.md target #2).
+
+Runs the reference workload — figure-8 EE tracking MPC on indy7, DEFAULT
+solver params, dt=0.01, one knot advanced per cycle — through the on-device
+closed loop (api/rollout.py::closed_loop_rollout, the same solve the Python
+MPC drives) for a grid of (N, B) and records the average/max EE tracking
+error into PARITY_RESULTS.json. The reference prints the same quantity as
+"Avg error" (python/bsqp/mpc_controller.py:274); its paper reports cm-level
+errors for this task.
+
+Tracking error definition matches run_mpc_fig8: after each cycle's sim step
+the measured EE position is compared against knot 1 of the next reference
+window (mpc_controller.py:263). The first quarter of the run is treated as
+transient and excluded from the steady-state average.
+
+Usage: python tools/parity_fig8.py [--cells N8_B1,N32_B1,...] [--cycles 400]
+       (default cells: N in {8,32,128} x B in {1,32,128})
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                   if "__file__" in globals() else ".", "PARITY_RESULTS.json")
+OUT = os.path.normpath(OUT)
+
+
+def run_cell(N, B, cycles, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from gato_tpu.api.common import figure8
+    from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS, INDY7_START_CONFIGS
+    from gato_tpu.api.rollout import closed_loop_rollout
+    from gato_tpu.ops.cost import CostParams
+    from gato_tpu.robots.model import load_robot
+    from gato_tpu.solver.types import BSQPSettings, HyperParams
+
+    p = DEFAULT_SOLVER_PARAMS
+    model = load_robot("indy7")
+    dt = 0.01
+    settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
+                            max_pcg_iters=p["max_pcg_iters"])
+    cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
+                           u_cost=p["u_cost"], N_cost=p["N_cost"],
+                           q_lim_cost=p["q_lim_cost"])
+    hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"], pcg_tol=p["pcg_tol"])
+
+    traj = figure8(dt, cycles=4).reshape(-1, 6).astype(np.float32)
+    n_steps = min(cycles, traj.shape[0] - N - 2)
+    refs = np.stack([traj[k:k + N] for k in range(n_steps)])
+
+    q0 = INDY7_START_CONFIGS["ready"]
+    x0 = np.concatenate([q0, np.zeros(6)]).astype(np.float32)
+
+    rng = np.random.default_rng(seed)
+    f_ext = rng.uniform(-5.0, 5.0, (B, 6)).astype(np.float32)
+    f_ext[0] = 0.0  # the estimator always carries the zero hypothesis
+
+    xs, ees, us = closed_loop_rollout(
+        model, model, settings, cp, hp, jnp.asarray(x0), jnp.asarray(refs),
+        jnp.asarray(f_ext), jnp.float32(dt), control_dt=dt, sim_substeps=4)
+    ees = np.asarray(ees)
+    goals = refs[:, 1, :3]  # knot-1 goal of the window each cycle tracked
+    errs = np.linalg.norm(ees - goals, axis=1)
+    tail = errs[n_steps // 4:]
+    return {
+        "cycles": int(n_steps),
+        "avg_err_m": round(float(tail.mean()), 5),
+        "max_err_m": round(float(tail.max()), 5),
+        "avg_err_all_m": round(float(errs.mean()), 5),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", default="")
+    ap.add_argument("--cycles", type=int, default=400)
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args()
+
+    if args.cells:
+        cells = []
+        for c in args.cells.split(","):
+            n, b = c.strip().split("_")
+            cells.append((int(n[1:]), int(b[1:])))
+    else:
+        cells = [(N, B) for N in (8, 32, 128) for B in (1, 32, 128)]
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    import jax
+    results.setdefault("meta", {})
+    results["meta"]["backend"] = jax.default_backend()
+    results["meta"]["workload"] = ("indy7 fig-8 closed loop, DEFAULT params, "
+                                   "dt=0.01, control_dt=dt, zero-wrench lane "
+                                   "drives; error vs knot-1 goal, steady "
+                                   "state = last 3/4 of run")
+    for N, B in cells:
+        key = f"N{N}_B{B}"
+        r = run_cell(N, B, args.cycles)
+        results[key] = r
+        print(f"{key}: avg {r['avg_err_m']*100:.2f} cm  "
+              f"max {r['max_err_m']*100:.2f} cm  ({r['cycles']} cycles)")
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps({"written": args.out}))
+
+
+if __name__ == "__main__":
+    main()
