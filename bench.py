@@ -45,7 +45,7 @@ def pick_solver(N, B, requested="auto"):
 
 
 def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
-                verbose_work=False, timing="device"):
+                verbose_work=False, timing="device", **setting_overrides):
     """Steady-state MPC solve time.
 
     timing="device": sustained per-cycle device time, measured by chaining
@@ -73,6 +73,7 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
         N=N, max_sqp_iters=sqp_iters or p["max_sqp_iters"],
         max_pcg_iters=p["max_pcg_iters"],
         linear_solver=pick_solver(N, B, solver),
+        **setting_overrides,
     )
     cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
                            u_cost=p["u_cost"], N_cost=p["N_cost"],

@@ -12,7 +12,7 @@ from gato_tpu.api.config import (PICKPLACE_DEFAULT_GOALS, PICKPLACE_MPC_DEFAULTS
 from gato_tpu.api.mpc import MPC_GATO
 
 
-def main(batch_sizes=(1, 8, 32), N=32, goals=None):
+def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None):
     goals = goals or PICKPLACE_DEFAULT_GOALS
     x0 = np.zeros(14, np.float32)
 
@@ -28,7 +28,7 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None):
         )
         _, stats = mpc.run_mpc_goals(
             x0, goals, sim_dt=0.001,
-            goal_timeout=PICKPLACE_MPC_DEFAULTS["goal_timeout"],
+            goal_timeout=goal_timeout or PICKPLACE_MPC_DEFAULTS["goal_timeout"],
             goal_threshold=PICKPLACE_MPC_DEFAULTS["goal_threshold"],
             velocity_threshold=PICKPLACE_MPC_DEFAULTS["velocity_threshold"],
         )
