@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..dynamics.algorithms import fd, fk
 from ..ops.cost import CostParams
+from ..ops.integrators import sim_step
 from ..ops.pallas_sim import rk4_step_batched_pallas
 from ..robots.model import RobotModel
 from ..solver.bsqp import solve_batched
@@ -74,7 +75,7 @@ def closed_loop_rollout(
     h = control_dt / sim_substeps
 
     def body(carry, ref_k):
-        x_sim, X, U, lam = carry
+        x_sim, X, U, lam, x_last, u_last = carry
         x_cur = robot_state(x_sim)
         x_s = jnp.tile(x_cur, (B, 1))
         X = X.at[:, 0, :].set(x_s)
@@ -83,7 +84,22 @@ def closed_loop_rollout(
             model, settings, cp, hp, X, U, lam, x_s,
             jnp.tile(ref_k[None], (B, 1, 1)), f_ext, dt,
         )
-        best = jnp.argmin(stats.final_merit)
+        if B > 1:
+            # the reference's evaluate_best_trajectory
+            # (mpc_controller.py:294-309): the winning hypothesis is the one
+            # whose one-step rollout of the PREVIOUS cycle's (state, control)
+            # best explains the state just measured — NOT the lowest merit
+            # (a phantom-wrench lane can out-merit the true model and its
+            # control destabilizes the plant)
+            pred = jax.vmap(
+                lambda fe: sim_step(model, x_last, u_last, control_dt,
+                                    f_ext=fe,
+                                    integrator_type=settings.integrator_type)
+            )(f_ext)
+            best = jnp.argmin(
+                jnp.linalg.norm(pred - x_cur[None, :], axis=1))
+        else:
+            best = 0
         u0 = Uo[best, 0]
         if pendulum_damping is not None:
             qd_p = x_sim[nq_s + nq:]
@@ -107,9 +123,10 @@ def closed_loop_rollout(
         X = jnp.tile(Xo[best][None], (B, 1, 1))
         U = jnp.tile(Uo[best][None], (B, 1, 1))
         _, ps = fk(model, robot_state(x_sim)[:nq])
-        return (x_sim, X, U, lam), (x_sim, ps[-1], u0)
+        return (x_sim, X, U, lam, x_cur, u0), (x_sim, ps[-1], u0)
 
-    (x_sim, X, U, lam), (xs, ees, us) = jax.lax.scan(
-        body, (x_sim0, X, U, lam), refs
+    u_init = jnp.zeros((nu,), x0.dtype)
+    (x_sim, X, U, lam, _, _), (xs, ees, us) = jax.lax.scan(
+        body, (x_sim0, X, U, lam, x0, u_init), refs
     )
     return xs, ees, us

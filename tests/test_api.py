@@ -72,9 +72,14 @@ def test_mpc_fig8_tracks():
     _, stats = mpc.run_mpc_fig8(x0, figure8(0.01, cycles=1), sim_dt=0.001,
                                 sim_time=1.0)
     assert len(stats["timestamps"]) > 50
-    # after the initial transient the tracking error must stay small
+    # after the initial transient the tracking error must stay at the
+    # recorded level plus margin (measured 2026-08-17 on this exact
+    # workload: tail mean 0.0395 m, tail max 0.0646 m; PARITY_RESULTS.json
+    # records 0.038 m steady-state for the on-device N=8 B=1 loop — the
+    # reference's paper reports cm-level errors for this task)
     tail = np.asarray(stats["goal_distances"])[len(stats["timestamps"]) // 2:]
-    assert tail.mean() < 0.12
+    assert tail.mean() < 0.055
+    assert tail.max() < 0.09
 
 
 def test_device_time_calibration():

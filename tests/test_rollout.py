@@ -55,3 +55,35 @@ def test_rollout_pendulum_sim_stays_finite():
         pendulum_damping=0.4,
     )
     assert np.isfinite(np.asarray(xs)).all()
+
+
+def test_rollout_phantom_wrench_lanes_dont_drive():
+    """With per-lane wrench hypotheses and a zero-wrench simulation, the
+    best-lane selection must keep driving with a lane consistent with the
+    measured state (the reference's evaluate_best_trajectory semantics,
+    mpc_controller.py:294-309) — NOT the lowest-merit lane, which can be a
+    phantom-wrench lane whose control destabilizes the plant (this diverged
+    to NaN within 300 cycles before the fix)."""
+    model = load_robot("indy7")
+    N, B, steps = 8, 4, 60
+    st = BSQPSettings(N=N, max_sqp_iters=2, max_pcg_iters=40)
+    cp = CostParams.create(q_cost=2.0, qd_cost=1e-2, u_cost=2e-6,
+                           N_cost=50.0, q_lim_cost=0.01)
+    hp = HyperParams.create(B, rho=0.01, mu=10.0, pcg_tol=1e-4)
+    q0 = jnp.asarray([-1.0966, -0.099, 0.8313, -0.109, 0.497, 0.015],
+                     jnp.float32)
+    x0 = jnp.concatenate([q0, jnp.zeros(6, jnp.float32)])
+    goal = ee_position(model, q0)[:3] + jnp.asarray([0.05, -0.03, 0.04],
+                                                    jnp.float32)
+    refs = jnp.tile(jnp.concatenate([goal, jnp.zeros(3, jnp.float32)]),
+                    (steps, N, 1))
+    rng = np.random.default_rng(3)
+    fe = rng.uniform(-8.0, 8.0, (B, 6)).astype(np.float32)
+    fe[0] = 0.0  # the estimator always carries the zero hypothesis
+    xs, ees, us = closed_loop_rollout(
+        model, model, st, cp, hp, x0, refs, jnp.asarray(fe),
+        jnp.float32(0.01), jnp.float32(0.004), sim_substeps=2,
+    )
+    assert np.isfinite(np.asarray(xs)).all()
+    d = np.linalg.norm(np.asarray(ees) - np.asarray(goal), axis=1)
+    assert d[-1] < 0.03

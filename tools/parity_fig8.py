@@ -29,7 +29,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.normpath(OUT)
 
 
-def run_cell(N, B, cycles, seed=0):
+def run_cell(N, B, cycles, seed=0, sqp_iters=None):
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +43,7 @@ def run_cell(N, B, cycles, seed=0):
     p = DEFAULT_SOLVER_PARAMS
     model = load_robot("indy7")
     dt = 0.01
-    settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
+    settings = BSQPSettings(N=N, max_sqp_iters=sqp_iters or p["max_sqp_iters"],
                             max_pcg_iters=p["max_pcg_iters"])
     cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
                            u_cost=p["u_cost"], N_cost=p["N_cost"],
@@ -81,7 +81,20 @@ def main():
     ap.add_argument("--cells", default="")
     ap.add_argument("--cycles", type=int, default=400)
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--sqp-iters", type=int, default=None,
+                    help="override max_sqp_iters (cells get a _sqpK suffix); "
+                         "at N=128 the DEFAULT 1-iteration budget leaves the "
+                         "solve unconverged (0.34 m avg err) while 3 "
+                         "iterations track at 0.043 m — the gap is iteration "
+                         "budget, not solver quality")
+    ap.add_argument("--platform", default="",
+                    help="force jax platform (e.g. cpu) — the tracking-error "
+                         "artifact is backend-independent to float roundoff")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.cells:
         cells = []
@@ -104,8 +117,9 @@ def main():
                                    "drives; error vs knot-1 goal, steady "
                                    "state = last 3/4 of run")
     for N, B in cells:
-        key = f"N{N}_B{B}"
-        r = run_cell(N, B, args.cycles)
+        key = f"N{N}_B{B}" + (f"_sqp{args.sqp_iters}" if args.sqp_iters
+                              else "")
+        r = run_cell(N, B, args.cycles, sqp_iters=args.sqp_iters)
         results[key] = r
         print(f"{key}: avg {r['avg_err_m']*100:.2f} cm  "
               f"max {r['max_err_m']*100:.2f} cm  ({r['cycles']} cycles)")
