@@ -28,7 +28,8 @@ def run_trial(solver, x0, goal, N):
     return np.asarray(curve, dtype=np.float64)
 
 
-def main(plant="iiwa14", N=64, batch=16, trials=10, max_iters=10, seed=0):
+def main(plant="iiwa14", N=64, batch=16, trials=10, max_iters=10, seed=0,
+         save=None):
     rng = np.random.default_rng(seed)
     model = load_robot(plant)
     nq = model.nq
@@ -65,6 +66,20 @@ def main(plant="iiwa14", N=64, batch=16, trials=10, max_iters=10, seed=0):
     if L:
         print(f"\nfinal: batched {cb[-1]:.4f} vs single {cs[-1]:.4f} "
               f"({'batched wins' if cb[-1] < cs[-1] else 'single wins'})")
+    if save:
+        # convergence-regression artifact, the reference's
+        # examples/gato_hparam_batch_results.pkl analogue
+        import json
+        with open(save, "w") as f:
+            json.dump({"plant": plant, "N": N, "batch": batch,
+                       "trials": trials, "max_iters": max_iters,
+                       "rho_grid": "logspace(-5, 0, batch)",
+                       "batched_rho_curve": [round(float(v), 5) for v in cb],
+                       "single_adaptive_curve": [round(float(v), 5) for v in cs],
+                       "note": ("normalized best-merit per SQP iteration, "
+                                "mean over trials; lower is better")}, f,
+                      indent=1)
+        print(f"saved -> {save}")
     return cb, cs
 
 
@@ -75,5 +90,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--max-iters", type=int, default=10)
+    ap.add_argument("--save", default=None)
     args = ap.parse_args()
-    main(args.plant, args.N, args.batch, args.trials, args.max_iters)
+    main(args.plant, args.N, args.batch, args.trials, args.max_iters,
+         save=args.save)

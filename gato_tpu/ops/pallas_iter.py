@@ -57,16 +57,32 @@ def _mat(c, like):
 
 def iter_channels(cd, key, cp: CostParams, N: int, max_pcg_iters: int,
                   integrator_type: int, dt, X, U, xs, r3, fe, lam,
-                  rho, eps, skip, like, debug: bool = False):
+                  rho, eps, skip, like, seg=None, pvalid=None,
+                  debug: bool = False):
     """One SQP iteration's KKT+Schur+PCG+dz on (S, L) channels (knots on
     lanes). X: nx channels, U: nu, xs: nx (constant over lanes), r3: 3,
     fe: 6, lam: nx, rho/eps/skip: (S, L) constant over lanes.
+
+    `seg` (static): segment length when each lane row holds L/seg independent
+    problems' knots back to back (short horizons waste 128-N lanes otherwise;
+    the reference packs multiple solves per SM the same way at small N). All
+    knot-coupled ops become segment-masked shifts / per-segment reductions.
     Returns (dzx nx, dzu nu, lam nx, iters 1) materialized channels."""
     nq = cd.nq
     nx = 2 * nq
     nu = nq
-    lane = jax.lax.broadcasted_iota(jnp.int32, like.shape, 1)
+    L = like.shape[1]
+    seg = seg or L
+    lane = jax.lax.broadcasted_iota(jnp.int32, like.shape, 1) % seg
     valid = (lane < N).astype(like.dtype)
+    if pvalid is not None:
+        # zero lanes of PADDING problems (unfilled segments of a partially
+        # packed lane row): their zero inputs make the channel Cholesky
+        # produce non-finite values, and the per-segment matmul reduction
+        # in _dot would smear a NaN across every segment in the row
+        # (NaN * 0 = NaN under the lane contraction)
+        valid = valid * pvalid
+    vb = valid > 0.5
     lane0 = lane == 0
     notlast = (lane < N - 1).astype(like.dtype)
 
@@ -74,10 +90,10 @@ def iter_channels(cd, key, cp: CostParams, N: int, max_pcg_iters: int,
         return _mat(c, like)
 
     def sf(c):
-        return _shift_fwd(mat(c))
+        return _shift_fwd(mat(c), seg)
 
     def sb(c):
-        return None if c is None else _shift_back(mat(c))
+        return None if c is None else _shift_back(mat(c), seg)
 
     # ---- KKT channels; terminal-knot cost via the per-lane tracking weight
     w_track = jnp.where(lane == N - 1, cp.N_cost, cp.q_cost)
@@ -150,7 +166,7 @@ def iter_channels(cd, key, cp: CostParams, N: int, max_pcg_iters: int,
                   chsum([chmul(BRinv[r][c], rv[c]) for c in range(nu)]))
         # zero outside real knots: pcg_channels relies on r/p staying zero
         # on padding lanes (lane shifts pull lane N into lane N-1)
-        gamma.append(jnp.where(lane < N, c_sch - mat(qq) + sf(t), 0.0))
+        gamma.append(jnp.where(vb, c_sch - mat(qq) + sf(t), 0.0))
 
     # SS preconditioner: P_main_0 = -Qr_0 (NOT its inverse — preserved
     # reference quirk, schur_linsys.cuh:150-164), P_main_{k+1} =
@@ -182,13 +198,20 @@ def iter_channels(cd, key, cp: CostParams, N: int, max_pcg_iters: int,
                                        for b in range(nx)])))
 
     # ---- dual solve: the whole Krylov loop (ops/pallas_pcg.py) ----
+    if pvalid is not None:
+        # scrub padding-problem lanes (see the valid*pvalid note above);
+        # jnp.where, not multiply — the false branch may hold NaN/inf
+        S_main = [jnp.where(vb, c, 0.0) for c in S_main]
+        S_lower = [jnp.where(vb, c, 0.0) for c in S_lower]
+        P_main = [jnp.where(vb, c, 0.0) for c in P_main]
+        P_lower = [jnp.where(vb, c, 0.0) for c in P_lower]
     lam_in = [mat(lam[i]) for i in range(nx)]
     lam_out, iters = pcg_channels(nx, max_pcg_iters, S_main, S_lower,
                                   P_main, P_lower, gamma, lam_in,
-                                  eps, skip, valid)
+                                  eps, skip, valid, seg)
 
     # ---- dz recovery (ops/schur.py::compute_dz) ----
-    lam_next = [_shift_back(lam_out[i]) for i in range(nx)]
+    lam_next = [_shift_back(lam_out[i], seg) for i in range(nx)]
     res_q = []
     for r in range(nx):
         atl = chsum([chmul(A_ch[i][r], lam_next[i]) for i in range(nx)])
@@ -212,8 +235,8 @@ def iter_channels(cd, key, cp: CostParams, N: int, max_pcg_iters: int,
     return dzx, dzu, lam_out, [iters]
 
 
-def _iter_kernel(cd, key, nq, N, max_pcg_iters, integrator_type, body_fn,
-                 chans_ref, w_ref, out_ref):
+def _iter_kernel(cd, key, nq, N, seg, B, max_pcg_iters, integrator_type,
+                 body_fn, chans_ref, w_ref, out_ref):
     nx = 2 * nq
     nu = nq
     idx = 0
@@ -239,13 +262,26 @@ def _iter_kernel(cd, key, nq, N, max_pcg_iters, integrator_type, body_fn,
                     q_lim_cost=w[4], vel_lim_cost=w[5], ctrl_lim_cost=w[6])
     dt = w[7]
 
+    # lanes of problems beyond B (padding of the last chunk / lane row)
+    G = X[0].shape[1] // seg
+    p_idx = (pl.program_id(0) * (X[0].shape[0] * G)
+             + jax.lax.broadcasted_iota(jnp.int32, X[0].shape, 0) * G
+             + jax.lax.broadcasted_iota(jnp.int32, X[0].shape, 1) // seg)
+    pvalid = (p_idx < B).astype(X[0].dtype)
+
     dzx, dzu, lam_out, iters = body_fn(
         cd, key, cp, N, max_pcg_iters, integrator_type, dt,
-        X, U, xs, r3, fe, lam, rho, eps, skip, X[0])
+        X, U, xs, r3, fe, lam, rho, eps, skip, X[0], seg=seg, pvalid=pvalid)
     o = 0
     for ch in dzx + dzu + lam_out + iters:
         out_ref[o] = ch
         o += 1
+
+
+def iter_capacity(N: int) -> int:
+    """Problems per kernel grid step: 8 sublanes x (128 // segment)."""
+    seg = next(s for s in (8, 16, 32, 64, 128) if s >= N)
+    return 8 * (_LANES // seg)
 
 
 def sqp_iter_pallas(model: RobotModel, cp: CostParams, X, U, x_s, ref, f_ext,
@@ -253,25 +289,36 @@ def sqp_iter_pallas(model: RobotModel, cp: CostParams, X, U, x_s, ref, f_ext,
                     integrator_type: int = 2, body_fn=None):
     """One fused SQP iteration core: KKT + Schur + PCG + dz in one kernel.
     X (B,N,nx), U (B,N-1,nu), x_s (B,nx), ref (B,N,>=3), f_ext (B,6),
-    lam (B,N,nx), rho/pcg_tol (B,), skip (B,) bool. Intended for B <= 16
-    (VMEM bound). Returns (dZX, dZU, lam, pcg_iters)."""
+    lam (B,N,nx), rho/pcg_tol (B,), skip (B,) bool.
+    Returns (dZX, dZU, lam, pcg_iters).
+
+    Layout: knots on lanes in segments of `seg` (the next power of two >= N,
+    so short horizons pack 128//seg problems per lane row instead of wasting
+    the padding lanes), 8 problems on sublanes, and a kernel grid over chunks
+    of 8*(128//seg) problems for larger batches — each chunk's Krylov loop
+    exits at its own convergence."""
     cd = _get_cd(model.key)
     nq = cd.nq
     nx, nu = 2 * nq, nq
     B, N = X.shape[0], X.shape[1]
-    S = max(8, -(-B // 8) * 8)
-    L = -(-N // _LANES) * _LANES
     dtp = X.dtype
+    seg = next(s for s in (8, 16, 32, 64, 128) if s >= N)
+    G = _LANES // seg  # problems per lane row
+    cap = 8 * G  # problems per grid step
+    nchunk = -(-B // cap)
+    Bp = nchunk * cap
+    SR = nchunk * 8  # total sublane rows
 
-    def chan(a):  # (B, N', k) -> (k, S, L)
+    def chan(a):  # (B, N', k) -> (k, SR, 128): problem p -> row p//G,
+        # lanes [(p%G)*seg, (p%G)*seg + N')
         k = a.shape[2]
-        return jnp.pad(a.transpose(2, 0, 1),
-                       ((0, 0), (0, S - B), (0, L - a.shape[1])))
+        a = jnp.pad(a, ((0, Bp - B), (0, seg - a.shape[1]), (0, 0)))
+        a = a.reshape(nchunk, 8, G, seg, k).transpose(4, 0, 1, 2, 3)
+        return a.reshape(k, SR, _LANES)
 
-    def bcast(a):  # (B, k) -> (k, S, L) constant over lanes
-        k = a.shape[1]
-        return jnp.pad(jnp.broadcast_to(a.T[:, :, None], (k, B, L)),
-                       ((0, 0), (0, S - B), (0, 0)))
+    def bcast(a):  # (B, k) -> (k, SR, 128) constant over each segment
+        return chan(jnp.broadcast_to(a[:, None, :], (B, 1, a.shape[1])
+                                     ).repeat(seg, axis=1))
 
     chans = jnp.concatenate([
         chan(X), chan(U), bcast(x_s), chan(ref[:, :, :3]), bcast(f_ext),
@@ -280,25 +327,32 @@ def sqp_iter_pallas(model: RobotModel, cp: CostParams, X, U, x_s, ref, f_ext,
         bcast(pcg_tol.astype(dtp)[:, None]),
         bcast(skip.astype(dtp)[:, None]),
     ], axis=0)
+    C_in = chans.shape[0]
 
     w = jnp.stack([cp.q_cost, cp.qd_cost, cp.u_cost, cp.N_cost,
                    cp.q_lim_cost, cp.vel_lim_cost, cp.ctrl_lim_cost,
                    jnp.asarray(dt, dtp)]).astype(dtp).reshape(8, 1, 1)
 
     C_out = nx + nu + nx + 1
-    kernel = functools.partial(_iter_kernel, cd, model.key, nq, N,
+    kernel = functools.partial(_iter_kernel, cd, model.key, nq, N, seg, B,
                                max_pcg_iters, integrator_type,
                                body_fn or iter_channels)
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C_out, S, L), dtp),
+        grid=(nchunk,),
+        in_specs=[pl.BlockSpec((C_in, 8, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 1, 1), lambda i: (0, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((C_out, 8, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C_out, SR, _LANES), dtp),
         interpret=_interpret(),
     )(chans, w)
-    dZX = out[:nx, :B, :N].transpose(1, 2, 0)
-    dZU = out[nx:nx + nu, :B, :N - 1].transpose(1, 2, 0)
-    lam_o = out[nx + nu:nx + nu + nx, :B, :N].transpose(1, 2, 0)
-    iters = out[C_out - 1, :B, 0].astype(jnp.int32)
+    # (C, SR, 128) -> (C, Bp, seg) in problem order
+    o = out.reshape(C_out, nchunk, 8, G, seg).reshape(C_out, Bp, seg)
+    dZX = o[:nx, :B, :N].transpose(1, 2, 0)
+    dZU = o[nx:nx + nu, :B, :N - 1].transpose(1, 2, 0)
+    lam_o = o[nx + nu:nx + nu + nx, :B, :N].transpose(1, 2, 0)
+    iters = o[C_out - 1, :B, 0].astype(jnp.int32)
     return dZX, dZU, lam_o, iters

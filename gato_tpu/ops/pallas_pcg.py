@@ -31,19 +31,32 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _shift_fwd(x):
-    """x[k-1] at lane k (zero into lane 0)."""
+def _lane_iota(x):
+    return jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+
+
+def _shift_fwd(x, seg=None):
+    """x[k-1] at lane k (zero into lane 0). With `seg` (a static segment
+    length, lanes hold G=L/seg independent problems' knots back to back),
+    zero into the first lane of EVERY segment."""
     z = jnp.zeros((x.shape[0], 1), x.dtype)
-    return jnp.concatenate([z, x[:, :-1]], axis=1)
+    y = jnp.concatenate([z, x[:, :-1]], axis=1)
+    if seg is not None and seg != x.shape[1]:
+        y = jnp.where(_lane_iota(x) % seg == 0, 0.0, y)
+    return y
 
 
-def _shift_back(x):
-    """x[k+1] at lane k (zero into the last lane)."""
+def _shift_back(x, seg=None):
+    """x[k+1] at lane k (zero into the last lane; with `seg`, into the last
+    lane of every segment)."""
     z = jnp.zeros((x.shape[0], 1), x.dtype)
-    return jnp.concatenate([x[:, 1:], z], axis=1)
+    y = jnp.concatenate([x[:, 1:], z], axis=1)
+    if seg is not None and seg != x.shape[1]:
+        y = jnp.where(_lane_iota(x) % seg == seg - 1, 0.0, y)
+    return y
 
 
-def _matvec(nx, main, lower, x, valid):
+def _matvec(nx, main, lower, x, valid, seg=None):
     """Symmetric block-tridiagonal matvec on channel lists (ops/schur.py::
     btd_matvec). main/lower: nx*nx channel lists (row-major), x: nx channels;
     each channel (B_pad, N_pad). Block (k+1, k) of `lower` is stored at lane
@@ -59,27 +72,40 @@ def _matvec(nx, main, lower, x, valid):
             t1 = l if t1 is None else t1 + l
         t2 = None  # lower^T @ x_{k+1}
         for c in range(nx):
-            u = lower[c * nx + r] * _shift_back(x[c])
+            u = lower[c * nx + r] * _shift_back(x[c], seg)
             t2 = u if t2 is None else t2 + u
-        y.append((acc + _shift_fwd(t1) + t2) * valid)
+        y.append((acc + _shift_fwd(t1, seg) + t2) * valid)
     return y
 
 
-def _dot(a, b, valid):
+def _dot(a, b, valid, seg=None):
     """Sum over (rows, knots) per batch row, broadcast back over lanes ->
     (B_pad, N_pad). Full-shape arrays keep every while-carry leaf in the
     native (8,128) vreg layout — Mosaic cannot legalize padded-layout or
-    boolean vectors in scf.while carries."""
+    boolean vectors in scf.while carries.
+
+    With `seg`, lanes hold L/seg independent problems: reduce+broadcast per
+    segment via one matmul with the block-diagonal ones matrix (forced f32 —
+    the TPU bf16 dot_general default would corrupt Krylov scalars)."""
     acc = None
     for r in range(len(a)):
         m = a[r] * b[r]
         acc = m if acc is None else acc + m
-    s = jnp.sum(acc * valid, axis=1, keepdims=True)
+    acc = acc * valid
+    if seg is not None and seg != acc.shape[1]:
+        i = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[1],) * 2, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[1],) * 2, 1)
+        segmat = (i // seg == j // seg).astype(acc.dtype)
+        return jax.lax.dot_general(
+            acc, segmat, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=acc.dtype)
+    s = jnp.sum(acc, axis=1, keepdims=True)
     return jnp.broadcast_to(s, acc.shape)
 
 
 def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,
-                 lam, epsilon, skip, valid):
+                 lam, epsilon, skip, valid, seg=None):
     """The whole Krylov loop on channel lists (each channel (S, L): batch on
     sublanes, knots on lanes). Shared between the standalone PCG kernel and
     the fused SQP-iteration kernel (ops/pallas_iter.py).
@@ -87,10 +113,10 @@ def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,
     epsilon/skip: (S, L) channels constant over lanes; valid: (S, L) 0/1 mask
     of real knots. Returns (lam channels, iteration-count channel)."""
     r = [gamma[i] - y for i, y in
-         enumerate(_matvec(nx, S_main, S_lower, lam, valid))]
-    z = _matvec(nx, P_main, P_lower, r, valid)
+         enumerate(_matvec(nx, S_main, S_lower, lam, valid, seg))]
+    z = _matvec(nx, P_main, P_lower, r, valid, seg)
     p = list(z)
-    rho = _dot(r, z, valid)
+    rho = _dot(r, z, valid, seg)
     rho_init = jnp.abs(rho)
     # active/converged masks stay f32 0/1: boolean vectors cannot cross the
     # scf.while carry boundary in Mosaic
@@ -107,15 +133,15 @@ def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,
         lam, r, p, rho, active, iters, it = state
         iters = iters + active
 
-        Ap = _matvec(nx, S_main, S_lower, p, valid)
-        pAp = _dot(p, Ap, valid)
+        Ap = _matvec(nx, S_main, S_lower, p, valid, seg)
+        pAp = _dot(p, Ap, valid, seg)
         alpha = rho / jnp.where(pAp == 0, 1.0, pAp)
         am = active * alpha
         lam = [lam[i] + am * p[i] for i in range(nx)]
         r = [r[i] - am * Ap[i] for i in range(nx)]
 
-        z = _matvec(nx, P_main, P_lower, r, valid)
-        rho_new = _dot(r, z, valid)
+        z = _matvec(nx, P_main, P_lower, r, valid, seg)
+        rho_new = _dot(r, z, valid, seg)
         converged = jnp.abs(rho_new) < (PCG_ABS_TOL + epsilon * rho_init)
 
         beta = rho_new / jnp.where(rho == 0, 1.0, rho)

@@ -48,7 +48,7 @@ def _problem(B, N, model):
             jnp.zeros((B, 6), jnp.float32))
 
 
-def run(per_device_batch=64, N=32, device_counts=None):
+def run(per_device_batch=64, N=32, device_counts=None, out=None):
     model = load_robot("indy7")
     settings = BSQPSettings(N=N, max_sqp_iters=P["max_sqp_iters"],
                             max_pcg_iters=P["max_pcg_iters"])
@@ -86,8 +86,20 @@ def run(per_device_batch=64, N=32, device_counts=None):
                       "efficiency": round(eff, 4)}
         print(f"devices={n:3d} B={B:5d}: {t*1e3:8.3f} ms  {thr:10.0f} solves/s"
               f"  efficiency {eff*100:5.1f}%")
-    print(json.dumps({"metric": "scaling", "value": results,
-                      "unit": "solves/s", "vs_baseline": None}))
+    doc = {"metric": "scaling", "value": results, "unit": "solves/s",
+           "vs_baseline": None,
+           "meta": {"backend": jax.default_backend(),
+                    "devices": len(all_devices), "N": N,
+                    "per_device_batch": per_device_batch,
+                    "note": ("weak scaling, per-device batch fixed. On the "
+                             "virtual CPU mesh all devices share the host "
+                             "cores, so 'efficiency' measures correctness of "
+                             "the sharded program, not hardware scaling — "
+                             "real ICI/DCN efficiency needs a TPU slice.")}}
+    print(json.dumps(doc))
+    if out:
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=1)
     return results
 
 
@@ -97,7 +109,8 @@ if __name__ == "__main__":
     ap.add_argument("--N", type=int, default=32)
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh")
+    ap.add_argument("--out", default=None, help="write the result JSON here")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    run(args.per_device_batch, args.N)
+    run(args.per_device_batch, args.N, out=args.out)

@@ -158,6 +158,106 @@ def test_iter_channels_skip_lanes(setup64):
     assert int(np.asarray(iters[0])[0, 0]) > 0
 
 
+def test_iter_channels_segmented_parity(setup64):
+    """Segmented layout (several problems' knots packed back to back on one
+    lane row, seg=16) must reproduce the XLA pipeline exactly like the
+    full-row layout does: segment-masked shifts + per-segment dot reductions
+    are the only different code paths."""
+    model, cp, X, U, x_s, ref, fe, lam, rho, tol = setup64
+    dt = 0.01
+    seg, G = 16, 2  # problems 0,1 on row 0; problem 2 on row 1, L=32
+    Ssub, Lseg = 2, seg * G
+
+    def pack(a, const=False):
+        k = a.shape[-1]
+        out = np.zeros((k, Ssub, Lseg), dtype=np.asarray(a).dtype)
+        for p in range(B):
+            r, g = divmod(p, G)
+            v = (np.asarray(a)[p][None, :].repeat(seg, 0) if const
+                 else np.asarray(a)[p])
+            out[:, r, g * seg:g * seg + v.shape[0]] = v.T
+        return [jnp.asarray(out[i]) for i in range(k)]
+
+    cd = _get_cd(model.key)
+    like = pack(X)[0]
+    dzx_c, dzu_c, lam_c, iters_c, dbg = iter_channels(
+        cd, model.key, cp, N, 500, 2, jnp.asarray(dt, X.dtype),
+        pack(X), pack(U), pack(x_s, const=True), pack(ref[:, :, :3]),
+        pack(fe, const=True), pack(lam),
+        pack(rho[:, None], const=True)[0], pack(tol[:, None], const=True)[0],
+        jnp.zeros_like(like), like, seg=seg,
+        pvalid=pack(np.ones((B, 1)), const=True)[0], debug=True)
+
+    kkt, schur, lam_x, iters_x = _xla_pipeline(
+        model, cp, X, U, x_s, ref, fe, lam, rho, tol, dt)
+
+    def unpack(chs, n_lanes):
+        a = np.stack([np.asarray(c) for c in chs], axis=-1)
+        return np.stack([a[p // G, (p % G) * seg:(p % G) * seg + n_lanes]
+                         for p in range(B)])
+
+    nx = 12
+    np.testing.assert_allclose(
+        unpack(dbg["S_main"], N).reshape(B, N, nx, nx),
+        np.asarray(schur.S_main), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        unpack(dbg["S_lower"], N - 1).reshape(B, N - 1, nx, nx),
+        np.asarray(schur.S_lower), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(unpack(dbg["gamma"], N),
+                               np.asarray(schur.gamma), rtol=1e-9, atol=1e-9)
+    lam_cc = unpack(lam_c, N)
+    scale = max(1.0, np.abs(np.asarray(lam_x)).max())
+    assert np.abs(lam_cc - np.asarray(lam_x)).max() / scale < 1e-4
+    dzx_x, dzu_x, _, _ = jax.vmap(compute_dz)(kkt, schur, jnp.asarray(lam_cc))
+    sx = max(1.0, np.abs(np.asarray(dzx_x)).max())
+    assert np.abs(unpack(dzx_c, N) - np.asarray(dzx_x)).max() / sx < 1e-9
+    su = max(1.0, np.abs(np.asarray(dzu_x)).max())
+    assert np.abs(unpack(dzu_c, N - 1) - np.asarray(dzu_x)).max() / su < 1e-9
+    it_c = np.asarray(iters_c[0])
+    it_cc = np.array([it_c[p // G, (p % G) * seg] for p in range(B)])
+    assert np.abs(it_cc.astype(int) - np.asarray(iters_x)).max() <= 2
+
+
+def test_wrapper_multichunk_plumbing(setup64):
+    """B > one grid step's capacity: the chunked grid + segment packing must
+    route every problem to the right (chunk, sublane, segment) and back."""
+    model, *_ = setup64
+    rng = np.random.default_rng(11)
+    Bm, Nm = 70, 12  # seg=16, G=8, cap=64 -> 2 chunks
+    f32 = jnp.float32
+    X = jnp.asarray(rng.normal(size=(Bm, Nm, 12)), f32)
+    U = jnp.asarray(rng.normal(size=(Bm, Nm - 1, 6)), f32)
+    x_s = jnp.asarray(rng.normal(size=(Bm, 12)), f32)
+    ref = jnp.asarray(rng.normal(size=(Bm, Nm, 6)), f32)
+    fe = jnp.asarray(rng.normal(size=(Bm, 6)), f32)
+    lam = jnp.asarray(rng.normal(size=(Bm, Nm, 12)), f32)
+    rho = jnp.asarray(rng.uniform(1, 2, (Bm,)), f32)
+    tol = jnp.asarray(rng.uniform(0, 1, (Bm,)), f32)
+    cp32 = CostParams.create(q_cost=2.0, qd_cost=1e-2, u_cost=2e-6,
+                             N_cost=50.0, q_lim_cost=0.01)
+
+    def echo_body(cd, key, cp_, N_, mpi, it, dt, Xc, Uc, xsc, r3c, fec,
+                  lamc, rhoc, epsc, skipc, like, seg=None, pvalid=None):
+        dzx = [Xc[i] + xsc[i] for i in range(12)]
+        dzu = [Uc[i] + fec[i] for i in range(6)]
+        lam_o = [lamc[i] + (r3c[i] if i < 3 else 0.0) for i in range(12)]
+        return dzx, dzu, lam_o, [rhoc * 1000.0 + epsc]
+
+    dZX, dZU, lam_o, iters = sqp_iter_pallas(
+        model, cp32, X, U, x_s, ref, fe, lam, rho, tol,
+        jnp.zeros(Bm, dtype=bool), jnp.float32(0.01),
+        max_pcg_iters=3, body_fn=echo_body)
+    np.testing.assert_array_equal(np.asarray(dZX),
+                                  np.asarray(X + x_s[:, None, :]))
+    np.testing.assert_array_equal(np.asarray(dZU),
+                                  np.asarray(U + fe[:, None, :]))
+    exp_lam = np.asarray(lam).copy()
+    exp_lam[:, :, :3] += np.asarray(ref)[:, :, :3]
+    np.testing.assert_array_equal(np.asarray(lam_o), exp_lam)
+    np.testing.assert_array_equal(
+        np.asarray(iters), np.asarray(rho * 1000.0 + tol, jnp.int32))
+
+
 def test_wrapper_pack_unpack_plumbing(setup64):
     """The pack/BlockSpec/unpack plumbing of sqp_iter_pallas (VERDICT
     round-1 item 4: a broken BlockSpec must fail CI). Interpret mode of the
@@ -169,7 +269,7 @@ def test_wrapper_pack_unpack_plumbing(setup64):
     cp32 = jax.tree.map(f32, cp)
 
     def echo_body(cd, key, cp_, N_, mpi, it, dt, Xc, Uc, xsc, r3c, fec,
-                  lamc, rhoc, epsc, skipc, like):
+                  lamc, rhoc, epsc, skipc, like, seg=None, pvalid=None):
         # dzx <- X + xs; dzu <- U + fe[:6]; lam <- lam + r3 (first 3 rows)
         dzx = [Xc[i] + xsc[i] for i in range(12)]
         dzu = [Uc[i] + fec[i] for i in range(6)]
