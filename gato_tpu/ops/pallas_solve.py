@@ -1,0 +1,417 @@
+"""Pallas TPU kernel: the ENTIRE batched SQP solve in one kernel program.
+
+The final step of the persistent-kernel progression (pallas_pcg: the Krylov
+loop; pallas_iter: one iteration's KKT+Schur+PCG+dz): here the SQP while
+loop itself, the 8-alpha merit sweep, the line search and the rho adaptation
+all run inside ONE Pallas program, so a whole multi-iteration solve costs a
+single kernel launch with every intermediate in VMEM. This is the TPU answer
+to the reference driver's per-iteration kernel sequence
+(gato/bsqp/bsqp.cuh:103-197: setup_kkt -> schur -> pcg -> dz -> merit ->
+line_search per iteration, plus computeMeritBatched up front at
+bsqp.cuh:116) collapsed into the one-launch design its persistent PCG kernel
+(gato/bsqp/kernels/pcg.cuh:13-148) hints at.
+
+Layout matches ops/pallas_iter.py: knots on lanes in segments of `seg` (the
+next power of two >= N, so short horizons pack 128//seg problems per lane
+row), 8 problems on sublanes, grid over chunks of 8*(128//seg) problems.
+Solver semantics (merit formula merit.cuh:16-92, line search + rho schedule
+line_search.cuh:12-98, solve_ratio early exit bsqp.cuh:133-165) follow the
+XLA path in solver/bsqp.py; parity is tested on plain arrays in
+tests/test_pallas_solve.py.
+
+NOTE: with more than one grid chunk the solve_ratio early exit is evaluated
+per chunk (each chunk is an independent program instance), while the XLA
+path evaluates it over the whole batch. The solver's "auto" gate only
+engages this kernel when the batch fits one chunk, where the two agree.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dynamics.channelized import chadd, chsum
+from ..robots.model import RobotModel
+from .cost import CostParams
+from .kkt_fast import _get_cd
+from .merit_fast import _barrier_sum, _limits
+from .pallas_iter import _LANES, _mat, iter_channels
+from .pallas_pcg import _shift_back
+from .schur import RHO_FACTOR, RHO_INIT, RHO_MAX, RHO_MIN
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _segsum(x, seg):
+    """Per-segment sum over lanes, broadcast back: (S, L) -> (S, L).
+
+    One f32 matmul with the block-diagonal ones matrix (Precision.HIGHEST —
+    the TPU bf16 dot_general default would corrupt merit comparisons)."""
+    L = x.shape[1]
+    if seg == L:
+        s = jnp.sum(x, axis=1, keepdims=True)
+        return jnp.broadcast_to(s, x.shape)
+    i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    segmat = (i // seg == j // seg).astype(x.dtype)
+    return jax.lax.dot_general(x, segmat, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=x.dtype)
+
+
+def merit_channels(cd, key, cp: CostParams, N: int, dt, integrator_type: int,
+                   X, U, xs, r3, fe, mu, lane, pvalid, seg, like):
+    """Merit of one candidate trajectory on (S, L) channels: per-problem
+    scalar broadcast over each segment's lanes.
+
+    Same formula as ops/merit_fast.py (_knot_terms + _terminal_cost + the
+    initial-state violation), i.e. the reference's computeMeritBatched
+    (merit.cuh:16-92), but with the terminal knot folded in via a per-lane
+    tracking weight and the knot sum as one per-segment reduction."""
+    nq = cd.nq
+    nx = 2 * nq
+    (jlo, jhi), (vlo, vhi), (clo, chi) = _limits(key)
+    last = lane == N - 1
+
+    q = [X[i] for i in range(nq)]
+    qd = [X[nq + i] for i in range(nq)]
+    cs = [jnp.cos(x) for x in q]
+    ss = [jnp.sin(x) for x in q]
+
+    p_ee, _, _ = cd.fk_ee(cs, ss)
+    err2 = chsum([(_mat(p_ee[k], like) - r3[k]) ** 2 for k in range(3)])
+    w_track = jnp.where(last, cp.N_cost, cp.q_cost)
+    cost = 0.5 * w_track * _mat(err2, like)
+    cost = cost + 0.5 * cp.qd_cost * _mat(chsum([v * v for v in qd]), like)
+    cost = cost + cp.q_lim_cost * _mat(_barrier_sum(q, jlo, jhi), like)
+    cost = cost + cp.vel_lim_cost * _mat(_barrier_sum(qd, vlo, vhi), like)
+    # control terms exist on non-terminal knots only (merit.cuh:52-60)
+    ucost = (0.5 * cp.u_cost * _mat(chsum([u * u for u in U]), like)
+             + cp.ctrl_lim_cost * _mat(_barrier_sum(U, clo, chi), like))
+
+    qdd = cd.fd(cs, ss, qd, U, f_ext=fe)
+    defect = None
+    for i in range(nq):
+        qdd_i = _mat(qdd[i], like)
+        if integrator_type == 0:
+            q_n = q[i] + dt * qd[i]
+            qd_n = qd[i] + dt * qdd_i
+        elif integrator_type == 1:
+            qd_n = qd[i] + dt * qdd_i
+            q_n = q[i] + dt * qd_n
+        else:
+            qd_n = qd[i] + dt * qdd_i
+            q_n = q[i] + dt * qd[i] + (0.5 * dt * dt) * qdd_i
+        defect = chadd(defect, jnp.abs(_shift_back(X[i], seg) - q_n))
+        defect = chadd(defect, jnp.abs(_shift_back(X[nq + i], seg) - qd_n))
+
+    init_viol = chsum([jnp.abs(X[i] - xs[i]) for i in range(nx)])
+
+    knot = jnp.where(last, cost, cost + ucost)
+    knot = jnp.where(lane < N, knot, 0.0)
+    pen = (jnp.where(lane < N - 1, _mat(defect, like), 0.0)
+           + jnp.where(lane == 0, _mat(init_viol, like), 0.0))
+    return _segsum((knot + mu * pen) * pvalid, seg)
+
+
+def solve_channels(cd, key, cp: CostParams, N: int, B: int,
+                   max_sqp_iters: int, max_pcg_iters: int, num_alphas: int,
+                   integrator_type: int, adapt_rho: bool, solve_ratio: float,
+                   dt, X, U, xs, r3, fe, lam, rho, drho, mu, eps,
+                   seg, pvalid, like, unroll: bool = False):
+    """The full SQP solve on (S, L) channels (the body of the one-kernel
+    solve; pure jnp, parity-tested on plain arrays).
+
+    X: nx channels, U: nu, xs: nx (constant over segment lanes), r3: 3,
+    fe: 6, lam: nx, rho/drho/mu/eps: per-problem channels constant over
+    segment lanes; pvalid: 0/1 mask of real (non-padding) problems.
+    Returns (X nx, U nu, lam nx, rho, drho, converged, merit0, merit_final,
+    iters_run, pcg_it[max_sqp_iters], ls_merit[...], ls_step[...]) channels.
+    """
+    nq = cd.nq
+    nx, nu = 2 * nq, nq
+    lane = jax.lax.broadcasted_iota(jnp.int32, like.shape, 1) % seg
+    lane0f = (lane == 0).astype(like.dtype) * pvalid
+    # alpha_j = 2^-j (merit.cuh:40) plus a leading alpha=0 block: one merit
+    # evaluation per (alpha, problem), alphas stacked on the SUBLANE axis so
+    # the whole sweep is ONE pipeline trace over (A+1)*S sublanes — tracing
+    # it per alpha instead multiplies the loop-body program size ~9x, which
+    # blows up both the XLA-CPU and Mosaic compiles. The alpha=0 block is
+    # merit(X, U) itself: it seeds the baseline at iteration 0 (the XLA
+    # path's fold_merit0 trick, solver/bsqp.py) for free.
+    alphas = [0.0] + [0.5 ** j for j in range(num_alphas)]
+    A1 = len(alphas)
+    S = like.shape[0]
+
+    X = [_mat(c, like) for c in X]
+    U = [_mat(c, like) for c in U]
+    lam = [_mat(c, like) for c in lam]
+
+    def tile_a(c):
+        return jnp.concatenate([c] * A1, axis=0)
+
+    like_a = tile_a(like)
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, like_a.shape, 1) % seg
+    xs_a = [tile_a(c) for c in xs]
+    r3_a = [tile_a(c) for c in r3]
+    fe_a = [tile_a(c) for c in fe]
+    mu_a = tile_a(_mat(mu, like))
+    pv_a = tile_a(pvalid)
+
+    def merit_sweep(X, U, dzx, dzu):
+        """(A+1)*S-sublane merit: block a holds merit(X + alphas[a] dz)."""
+        Xc = [jnp.concatenate([X[i] + a * dzx[i] for a in alphas], axis=0)
+              for i in range(nx)]
+        Uc = [jnp.concatenate([U[i] + a * dzu[i] for a in alphas], axis=0)
+              for i in range(nu)]
+        m = merit_channels(cd, key, cp, N, dt, integrator_type, Xc, Uc,
+                           xs_a, r3_a, fe_a, mu_a, lane_a, pv_a, seg,
+                           like_a)
+        return [jax.lax.slice_in_dim(m, a * S, (a + 1) * S, axis=0)
+                for a in range(A1)]
+
+    zero = jnp.zeros_like(like)
+    st0 = dict(
+        X=tuple(X), U=tuple(U), lam=tuple(lam), rho=rho, drho=drho,
+        mbase=zero, merit0=zero, converged=zero,
+        pcg=(zero,) * max_sqp_iters, lsm=(zero,) * max_sqp_iters,
+        lss=(zero,) * max_sqp_iters,
+        it=jnp.int32(0), exit=jnp.int32(0),
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["it"] < max_sqp_iters, s["exit"] == 0)
+
+    def body(s):
+        X, U, lam = list(s["X"]), list(s["U"]), list(s["lam"])
+        rho, drho = s["rho"], s["drho"]
+        it = s["it"]
+
+        dzx, dzu, lam, pcg_it = iter_channels(
+            cd, key, cp, N, max_pcg_iters, integrator_type, dt,
+            X, U, xs, r3, fe, lam, rho, eps, s["converged"], like,
+            seg=seg, pvalid=pvalid)
+        pcg_it = pcg_it[0]
+        # padding problems produce finite-garbage steps; zero them so their
+        # trajectories stay at the (finite) zero point across iterations
+        dzx = [d * pvalid for d in dzx]
+        dzu = [d * pvalid for d in dzu]
+
+        converged = jnp.maximum(s["converged"],
+                                (pcg_it == 0).astype(like.dtype))
+        solved = jnp.sum(converged * lane0f)
+        exit_now = solved >= B * solve_ratio  # scalar (one grid chunk)
+        pcg = tuple(jnp.where(it == i, pcg_it, s["pcg"][i])
+                    for i in range(max_sqp_iters))
+
+        # ---- merit sweep + line search (computed on the exiting iteration
+        # too, then discarded — matching the XLA path's lax.cond skip
+        # without a Mosaic scf.if over the full state) ----
+        ms = merit_sweep(X, U, dzx, dzu)
+        # block 0 is merit(X, U): the warm-start baseline at iteration 0
+        # (computeMeritBatched<1>, bsqp.cuh:116)
+        mbase = jnp.where(it == 0, ms[0], s["mbase"])
+        merit0 = jnp.where(it == 0, ms[0], s["merit0"])
+        best = ms[1]
+        besta = jnp.full_like(like, alphas[1])
+        for j in range(2, A1):
+            lt = ms[j] < best  # strict: first minimum wins on ties
+            best = jnp.where(lt, ms[j], best)
+            besta = jnp.where(lt, alphas[j], besta)
+        success = best < mbase
+
+        # rho schedule (line_search.cuh:61-80, settings.h:18-21)
+        if adapt_rho:
+            mult = jnp.where(
+                success,
+                jnp.minimum(drho / RHO_FACTOR, 1.0 / RHO_FACTOR),
+                jnp.maximum(drho * RHO_FACTOR, RHO_FACTOR))
+            drho_n = mult
+            rho_n = jnp.clip(rho * mult, RHO_MIN, RHO_MAX)
+        else:
+            rho_n, drho_n = rho, drho
+        rho_n = jnp.where(jnp.logical_and(~success, rho_n > RHO_MAX),
+                          RHO_INIT, rho_n)
+
+        a_ch = jnp.where(success, besta, 0.0)
+        m_n = jnp.where(success, best, mbase)
+        step = jnp.where(success, besta, -1.0)
+
+        ex = exit_now  # scalar: discard the line search on early exit
+        Xo = tuple(jnp.where(ex, X[i], X[i] + a_ch * dzx[i])
+                   for i in range(nx))
+        Uo = tuple(jnp.where(ex, U[i], U[i] + a_ch * dzu[i])
+                   for i in range(nu))
+        return dict(
+            X=Xo, U=Uo, lam=tuple(lam),
+            rho=jnp.where(ex, rho, rho_n),
+            drho=jnp.where(ex, drho, drho_n),
+            mbase=jnp.where(ex, mbase, m_n), merit0=merit0,
+            converged=converged, pcg=pcg,
+            lsm=tuple(jnp.where(jnp.logical_and(it == i, ~ex), m_n,
+                                s["lsm"][i]) for i in range(max_sqp_iters)),
+            lss=tuple(jnp.where(jnp.logical_and(it == i, ~ex), step,
+                                s["lss"][i]) for i in range(max_sqp_iters)),
+            it=it + 1, exit=ex.astype(jnp.int32),
+        )
+
+    if max_sqp_iters == 1:
+        s = body(st0)  # unrolled: no loop machinery (benchmark default)
+    elif unroll:
+        # python-unrolled loop, exit latched by tree-select: identical
+        # semantics to the while_loop (once exit is set, body effects are
+        # discarded), but straight-line code — the while-wrapped body is a
+        # single enormous compile unit that XLA-CPU (tests) chokes on, and
+        # unrolling also spares Mosaic the 70+-channel loop carry
+        s = st0
+        for _ in range(max_sqp_iters):
+            s_new = body(s)
+            done = s["exit"] == 1
+            s = jax.tree.map(lambda o, n: jnp.where(done, o, n), s, s_new)
+    else:
+        s = jax.lax.while_loop(cond, body, st0)
+
+    # mbase IS merit(X, U) of the returned trajectory by induction (it is
+    # updated to the accepted candidate's merit, or kept when X, U are kept)
+    it_ch = jnp.full_like(like, s["it"].astype(like.dtype))
+    return (list(s["X"]) + list(s["U"]) + list(s["lam"])
+            + [s["rho"], s["drho"], s["converged"], s["merit0"], s["mbase"],
+               it_ch]
+            + list(s["pcg"]) + list(s["lsm"]) + list(s["lss"]))
+
+
+def _solve_kernel(cd, key, nq, N, B, seg, max_sqp_iters, max_pcg_iters,
+                  num_alphas, integrator_type, adapt_rho, solve_ratio,
+                  unroll, body_fn, chans_ref, w_ref, out_ref):
+    nx = 2 * nq
+    nu = nq
+    idx = 0
+
+    def take(n):
+        nonlocal idx
+        out = [chans_ref[idx + i] for i in range(n)]
+        idx += n
+        return out
+
+    X = take(nx)
+    U = take(nu)
+    xs = take(nx)
+    r3 = take(3)
+    fe = take(6)
+    lam = take(nx)
+    rho = take(1)[0]
+    drho = take(1)[0]
+    mu = take(1)[0]
+    eps = take(1)[0]
+
+    w = [w_ref[i, 0, 0] for i in range(8)]
+    cp = CostParams(q_cost=w[0], qd_cost=w[1], u_cost=w[2], N_cost=w[3],
+                    q_lim_cost=w[4], vel_lim_cost=w[5], ctrl_lim_cost=w[6])
+    dt = w[7]
+
+    # 0/1 mask of real problems (padding of the last chunk / lane row)
+    G = X[0].shape[1] // seg
+    p_idx = (pl.program_id(0) * (X[0].shape[0] * G)
+             + jax.lax.broadcasted_iota(jnp.int32, X[0].shape, 0) * G
+             + jax.lax.broadcasted_iota(jnp.int32, X[0].shape, 1) // seg)
+    pvalid = (p_idx < B).astype(X[0].dtype)
+
+    outs = body_fn(cd, key, cp, N, B, max_sqp_iters, max_pcg_iters,
+                   num_alphas, integrator_type, adapt_rho, solve_ratio, dt,
+                   X, U, xs, r3, fe, lam, rho, drho, mu, eps,
+                   seg, pvalid, X[0], unroll=unroll)
+    for o, ch in enumerate(outs):
+        out_ref[o] = ch
+
+
+def sqp_solve_pallas(model: RobotModel, cp: CostParams, X, U, lam, x_s, ref,
+                     f_ext, rho, drho, mu, pcg_tol, dt, N: int,
+                     max_sqp_iters: int, max_pcg_iters: int,
+                     num_alphas: int = 8, integrator_type: int = 2,
+                     adapt_rho: bool = True, solve_ratio: float = 1.0,
+                     unroll: bool | None = None, body_fn=None):
+    """The whole batched SQP solve as ONE Pallas kernel launch.
+
+    X (B,N,nx), U (B,N-1,nu), lam (B,N,nx), x_s (B,nx), ref (B,N,>=3),
+    f_ext (B,6), rho/drho/mu/pcg_tol (B,). Returns
+    (X, U, lam, rho, drho, converged, merit0, merit_final, iters_run,
+    pcg_iters (max_sqp_iters, B), ls_merit (..., B), ls_step (..., B)).
+    """
+    cd = _get_cd(model.key)
+    nq = cd.nq
+    nx, nu = 2 * nq, nq
+    B = X.shape[0]
+    dtp = X.dtype
+    seg = next(s for s in (8, 16, 32, 64, 128) if s >= N)
+    G = _LANES // seg
+    cap = 8 * G
+    nchunk = -(-B // cap)
+    Bp = nchunk * cap
+    SR = nchunk * 8
+
+    def chan(a):  # (B, N', k) -> (k, SR, 128), ops/pallas_iter.py layout
+        k = a.shape[2]
+        a = jnp.pad(a, ((0, Bp - B), (0, seg - a.shape[1]), (0, 0)))
+        a = a.reshape(nchunk, 8, G, seg, k).transpose(4, 0, 1, 2, 3)
+        return a.reshape(k, SR, _LANES)
+
+    def bcast(a):  # (B, k) -> (k, SR, 128) constant over each segment
+        return chan(jnp.broadcast_to(a[:, None, :], (B, 1, a.shape[1])
+                                     ).repeat(seg, axis=1))
+
+    chans = jnp.concatenate([
+        chan(X), chan(U), bcast(x_s), chan(ref[:, :, :3]), bcast(f_ext),
+        chan(lam),
+        bcast(rho.astype(dtp)[:, None]), bcast(drho.astype(dtp)[:, None]),
+        bcast(mu.astype(dtp)[:, None]), bcast(pcg_tol.astype(dtp)[:, None]),
+    ], axis=0)
+    C_in = chans.shape[0]
+
+    w = jnp.stack([cp.q_cost, cp.qd_cost, cp.u_cost, cp.N_cost,
+                   cp.q_lim_cost, cp.vel_lim_cost, cp.ctrl_lim_cost,
+                   jnp.asarray(dt, dtp)]).astype(dtp).reshape(8, 1, 1)
+
+    C_out = nx + nu + nx + 6 + 3 * max_sqp_iters
+    if unroll is None:
+        # straight-line code for short SQP schedules (no 70+-channel Mosaic
+        # while carry); the while_loop for long ones (bounded program size)
+        unroll = max_sqp_iters <= 4
+    kernel = functools.partial(
+        _solve_kernel, cd, model.key, nq, N, B, seg, max_sqp_iters,
+        max_pcg_iters, num_alphas, integrator_type, adapt_rho, solve_ratio,
+        unroll, body_fn or solve_channels)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nchunk,),
+        in_specs=[pl.BlockSpec((C_in, 8, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 1, 1), lambda i: (0, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((C_out, 8, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C_out, SR, _LANES), dtp),
+        interpret=_interpret(),
+    )(chans, w)
+
+    # (C, SR, 128) -> (C, Bp, seg) in problem order
+    o = out.reshape(C_out, nchunk, 8, G, seg).reshape(C_out, Bp, seg)
+    Xo = o[:nx, :B, :N].transpose(1, 2, 0)
+    Uo = o[nx:nx + nu, :B, :N - 1].transpose(1, 2, 0)
+    lam_o = o[nx + nu:2 * nx + nu, :B, :N].transpose(1, 2, 0)
+    k = 2 * nx + nu
+    rho_o, drho_o, conv, merit0, merit_f, iters_run = (
+        o[k + i, :B, 0] for i in range(6))
+    k += 6
+    pcg_it = o[k:k + max_sqp_iters, :B, 0].astype(jnp.int32)
+    k += max_sqp_iters
+    ls_merit = o[k:k + max_sqp_iters, :B, 0]
+    k += max_sqp_iters
+    ls_step = o[k:k + max_sqp_iters, :B, 0]
+    return (Xo, Uo, lam_o, rho_o, drho_o, conv, merit0, merit_f,
+            iters_run, pcg_it, ls_merit, ls_step)

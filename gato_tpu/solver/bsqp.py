@@ -31,6 +31,7 @@ from ..ops.btd_solve import btd_solve_batched
 from ..ops.pcg import pcg_solve_batched
 from ..ops.pallas_pcg import pcg_solve_batched_pallas
 from ..ops.pallas_iter import sqp_iter_pallas
+from ..ops.pallas_solve import sqp_solve_pallas
 from ..ops.schur import build_schur, compute_dz
 from ..robots.model import RobotModel
 from ..ops.cost import CostParams
@@ -54,6 +55,40 @@ def solve_batched(
     """Run the batched SQP solve. Returns (X, U, lam, hp_out, stats)."""
     B = X.shape[0]
     itype = settings.integrator_type
+
+    # Whole-solve megakernel: SQP loop + merit + line search in ONE Pallas
+    # launch (ops/pallas_solve.py). "fused" forces it on any backend
+    # (interpret mode in CI); "auto" gates to one-grid-step batches on TPU
+    # (beyond one chunk the solve_ratio exit is per chunk, not global).
+    from ..ops.pallas_iter import iter_capacity
+    use_solve_kernel = settings.linear_solver == "pcg" and (
+        settings.solve_kernel == "fused"
+        or (settings.solve_kernel == "auto"
+            and B <= iter_capacity(settings.N)
+            and settings.N <= 128 and jax.default_backend() == "tpu")
+    )
+    if use_solve_kernel:
+        (Xo, Uo, lam_o, rho_o, _drho, conv, merit0, merit_f, iters_run,
+         pcg_it, ls_merit, ls_step) = sqp_solve_pallas(
+            model, cp, X, U, lam, x_s, ref, f_ext, hp.rho, hp.drho, hp.mu,
+            hp.pcg_tol, dt, settings.N, settings.max_sqp_iters,
+            settings.max_pcg_iters, settings.num_alphas, itype,
+            settings.adapt_rho, settings.solve_ratio)
+        # drho resets to its init after every solve (bsqp.cuh:189)
+        hp_out = HyperParams(rho=rho_o, drho=hp.drho, mu=hp.mu,
+                             pcg_tol=hp.pcg_tol)
+        stats = SQPStats(
+            sqp_iters=iters_run.astype(jnp.int32),
+            kkt_converged=conv.astype(jnp.int32),
+            pcg_iters=pcg_it,
+            ls_min_merit=ls_merit,
+            ls_step_size=ls_step,
+            initial_merit=merit0,
+            final_merit=merit_f,
+            num_iters_run=jnp.max(iters_run).astype(jnp.int32),
+        )
+        return Xo, Uo, lam_o, hp_out, stats
+
     alphas = default_alphas(settings.num_alphas, dtype=X.dtype)
 
     # The Pallas kernel keeps the whole per-knot pipeline in VMEM; on CPU it
@@ -101,9 +136,15 @@ def solve_batched(
     use_pcg_g = settings.linear_solver == "pcg"
     # "fused" forces the kernel on any backend (interpret mode in CI);
     # "auto" only engages it on TPU at small batch
+    # capacity of one fused-kernel grid step: 8 sublanes x (128 // segment)
+    # problems; "auto" engages the kernel whenever the batch fits one step
+    # (short horizons pack many problems per lane row, so the whole B=32
+    # column and the small-batch half of the N=8/16 rows qualify)
+    from ..ops.pallas_iter import iter_capacity
     use_fused_iter = use_pcg_g and (
         settings.iter_kernel == "fused"
-        or (settings.iter_kernel == "auto" and B <= 8
+        or (settings.iter_kernel == "auto"
+            and B <= iter_capacity(settings.N)
             and settings.N <= 128 and jax.default_backend() == "tpu")
     )
 

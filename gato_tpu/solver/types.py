@@ -43,6 +43,11 @@ class BSQPSettings:
     # iteration core in ONE VMEM kernel (ops/pallas_iter.py — the TPU
     # analogue of the reference's persistent-kernel solve); "off": staged
     # kernels; "auto": fused on TPU at small batch with the pcg solver
+    solve_kernel: str = "off"  # "fused": the ENTIRE solve — SQP loop, merit
+    # sweep, line search, rho schedule — in ONE Pallas kernel launch
+    # (ops/pallas_solve.py); "off": per-stage/per-iteration kernels; "auto":
+    # fused on TPU when the batch fits one kernel grid step. Default "off"
+    # until TPU-validated (flip after benchmarking).
 
 
 @jax.tree_util.register_dataclass
