@@ -205,9 +205,12 @@ def main():
     args = ap.parse_args()
 
     if args.grid:
+        # B=1024 matches the reference's maximum instantiated batch
+        # (bindings.cu:253-264); it has no recorded reference heatmap cell,
+        # so vs_ref is null there
         rows = {}
         for N in (8, 16, 32, 64, 128):
-            for B in (1, 32, 128, 512):
+            for B in (1, 32, 128, 512, 1024):
                 t = bench_solve(N, B, plant=args.plant, solver=args.solver, timing=args.timing)
                 ref = REFERENCE_MS.get((N, B))
                 rows[f"N{N}_B{B}"] = {
