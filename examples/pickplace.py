@@ -12,7 +12,8 @@ from gato_tpu.api.config import (PICKPLACE_DEFAULT_GOALS, PICKPLACE_MPC_DEFAULTS
 from gato_tpu.api.mpc import MPC_GATO
 
 
-def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None):
+def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None,
+         viz=None):
     goals = goals or PICKPLACE_DEFAULT_GOALS
     x0 = np.zeros(14, np.float32)
 
@@ -33,6 +34,16 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None):
             velocity_threshold=PICKPLACE_MPC_DEFAULTS["velocity_threshold"],
         )
         outcomes[B] = stats["goal_outcomes"]
+        if viz:
+            # skeleton-strip render of the rollout (the reference notebook's
+            # meshcat animation role; gato_tpu/utils/viz.py)
+            from gato_tpu.utils.viz import plot_rollout
+            qs = np.asarray(stats["joint_positions"])
+            goal_pts = np.asarray(goals, np.float32)
+            out = viz.replace(".png", f"_B{B}.png")
+            plot_rollout(mpc.solver_model, qs[:: max(1, len(qs) // 120)],
+                         ref=goal_pts, path=out)
+            print(f"  viz -> {out}")
 
     print("\nsummary:")
     for B, o in outcomes.items():
@@ -45,5 +56,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 32])
     ap.add_argument("--N", type=int, default=32)
+    ap.add_argument("--viz", default=None,
+                    help="write rollout skeleton PNGs here (e.g. pp.png)")
     args = ap.parse_args()
-    main(tuple(args.batch_sizes), args.N)
+    main(tuple(args.batch_sizes), args.N, viz=args.viz)
