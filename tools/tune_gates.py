@@ -1,0 +1,66 @@
+"""A/B the Pallas-kernel auto gates with honest chained device timing.
+
+Round-2 knobs: iter_kernel (ops/pallas_iter.py, one fused SQP iteration,
+segment-packed short horizons) and solve_kernel (ops/pallas_solve.py, the
+whole solve in one kernel launch). Both need linear_solver="pcg", so every
+arm forces pcg — the btd-vs-pcg choice is tuned separately (bench.pick_solver).
+
+Usage (TPU): python tools/tune_gates.py iter|solve|all [--out tune.json]
+Timing: bench.bench_solve's chained closed-loop method (utils/timing.py) —
+per-dispatch wall timing is meaningless on this runtime (CLAUDE.md).
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["iter", "solve", "all"])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cells", default=None,
+                    help="comma list like 8:1,8:32,16:32 overriding defaults")
+    args = ap.parse_args()
+
+    from bench import bench_solve
+    from gato_tpu.ops.pallas_iter import iter_capacity
+
+    results = {}
+
+    def run(N, B, tag, **overrides):
+        t = bench_solve(N, B, solver="pcg", **overrides)
+        key = f"N{N}_B{B}_{tag}"
+        results[key] = round(t * 1e6, 1)
+        print(f"{key}: {t*1e6:9.1f} us", flush=True)
+        return t
+
+    cells = ([tuple(map(int, c.split(":"))) for c in args.cells.split(",")]
+             if args.cells else
+             [(8, 1), (8, 8), (8, 32), (8, 128), (16, 1), (16, 32),
+              (16, 64), (32, 1), (32, 8), (32, 32), (64, 1), (64, 8),
+              (128, 1), (128, 8)])
+
+    if args.which in ("iter", "all"):
+        for N, B in cells:
+            if B > iter_capacity(N):
+                continue
+            run(N, B, "iter_off", iter_kernel="off")
+            run(N, B, "iter_fused", iter_kernel="fused")
+
+    if args.which in ("solve", "all"):
+        for N, B in cells:
+            if B > iter_capacity(N):
+                continue
+            run(N, B, "solve_off", iter_kernel="off", solve_kernel="off")
+            run(N, B, "solve_fused", solve_kernel="fused")
+
+    out = args.out or f"/tmp/tune_{args.which}.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"saved -> {out}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()
