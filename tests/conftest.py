@@ -23,3 +23,23 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/gato_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite accumulates tens of GB of live executables/arrays in one
+    process; at high RSS this image's XLA segfaults inside
+    LoadedExecutable.serialize() when writing NEW persistent-cache entries
+    (observed repeatedly at ~70 tests in). Dropping the in-process caches at
+    module boundaries keeps RSS low; cross-module reuse still comes from the
+    persistent disk cache."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -73,8 +73,26 @@ args = [gput(a, sb) for a in (X, U, lam, x_s, ref, fe)]
 hp = HyperParams(*(gput(np.asarray(v), sb) for v in
                    (hp_host.rho, hp_host.drho, hp_host.mu, hp_host.pcg_tol)))
 
-Xo, Uo, lam_o, hp_o, stats = solve_batched_sharded(
-    model, settings, cp, hp, *args, jnp.float32(0.01))
+# AOT-compile BEFORE the first cross-process dispatch, then meet at the
+# coordination-service barrier (long timeout). Without this, uneven compile
+# times under host contention stagger the two processes' first collective
+# past gloo's hard 30s rendezvous window (GetKeyValue DEADLINE_EXCEEDED).
+import functools
+
+solve_jit = jax.jit(functools.partial(solve_batched_sharded, model, settings))
+compiled = solve_jit.lower(cp, hp, *args, jnp.float32(0.01)).compile()
+
+from jax._src import distributed
+
+client = distributed.global_state.client
+try:
+    client.wait_at_barrier("gato_dist_ready", 600_000)
+except (AttributeError, TypeError):
+    client.key_value_set(f"gato_ready_{pid}", "1")
+    for i in range(nproc):
+        client.blocking_key_value_get(f"gato_ready_{i}", 600_000)
+
+Xo, Uo, lam_o, hp_o, stats = compiled(cp, hp, *args, jnp.float32(0.01))
 
 
 @jax.jit

@@ -35,7 +35,7 @@ def test_two_process_sharded_solve():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=840)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
