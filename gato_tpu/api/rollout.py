@@ -8,9 +8,13 @@ closed-loop evaluation ~100x faster than the Python-stepped loop on this
 image's tunneled runtime, and enables sweeping controller configurations
 on-device.
 
-The Python MPC_GATO loop (api/mpc.py) remains the full-featured path (force
-estimator adaptation is host-side); this rollout covers fixed per-lane
-f_ext hypotheses with on-device best-lane selection by final merit.
+Two rollouts: `closed_loop_rollout` (fixed per-lane f_ext hypotheses,
+best-lane selection by one-step prediction) and
+`closed_loop_rollout_estimator` (force-ADAPTIVE MPC: the wrench estimator
+runs inside the scan — either the reference's sphere-search algorithm or
+the beyond-reference Gauss-Newton observer, estimator="observer"). The
+Python MPC_GATO loop (api/mpc.py) remains the host-stepped full-featured
+path.
 """
 
 from __future__ import annotations
@@ -29,11 +33,12 @@ from ..solver.bsqp import solve_batched
 from ..solver.types import BSQPSettings, HyperParams
 
 
-def _rk4(model, x, u, h):
+def _rk4(model, x, u, h, f_ext=None):
     nq = model.nq
 
     def deriv(x):
-        return jnp.concatenate([x[nq:], fd(model, x[:nq], x[nq:], u)])
+        return jnp.concatenate(
+            [x[nq:], fd(model, x[:nq], x[nq:], u, f_ext=f_ext)])
 
     k1 = deriv(x)
     k2 = deriv(x + 0.5 * h * k1)
@@ -130,3 +135,139 @@ def closed_loop_rollout(
         body, (x_sim0, X, U, lam, x0, u_init), refs
     )
     return xs, ees, us
+
+
+@partial(jax.jit, static_argnames=("settings", "batch_size", "sim_substeps",
+                                   "estimator"))
+def closed_loop_rollout_estimator(
+    model: RobotModel,
+    settings: BSQPSettings,
+    cp: CostParams,
+    hp: HyperParams,
+    x_sim0,                    # (nx,) initial state
+    refs,                      # (n_steps, N, 6) reference windows per cycle
+    true_f_ext,                # (6,) ground-truth WORLD-frame wrench
+                               # [force; torque] applied at the EE link
+    dt,
+    control_dt,
+    batch_size: int,
+    key,                       # PRNG key for the estimator's rotations
+    sim_substeps: int = 4,
+    initial_radius: float = 10.0,
+    estimator: str = "sphere",
+):
+    """Force-adaptive MPC entirely on device: each scan cycle generates the
+    wrench-hypothesis batch from the estimator state, solves, picks the lane
+    whose one-step prediction best explains the measured state (the
+    reference's evaluate_best_trajectory, mpc_controller.py:294-309), steps
+    the true plant under `true_f_ext`, and runs the estimator update — the
+    full loop of the reference's examples/force_estimator.py experiment with
+    zero host round-trips. Returns (x_sim traj, ee traj, smoothed force
+    estimates (n_steps, 6), per-cycle min prediction errors (n_steps,))."""
+    from .common import world_wrench_to_ee_frame
+    from .force_estimator_device import (fe_generate, fe_init, fe_update,
+                                         fibonacci_sphere, observer_update)
+
+    B = batch_size
+    N = settings.N
+    nq, nx, nu = model.nq, model.nx, model.nu
+    dirs = jnp.asarray(fibonacci_sphere(B - 3))
+
+    x0 = x_sim0[:nx]
+    X = jnp.tile(x0, (B, N, 1))
+    U = jnp.zeros((B, N - 1, nu), x0.dtype)
+    lam = jnp.zeros((B, N, nx), x0.dtype)
+    h = control_dt / sim_substeps
+    fe0 = fe_init(initial_radius)
+
+    def body(carry, ref_k):
+        x_sim, X, U, lam, x_last, u_last, batch_last, fe_state, key = carry
+        x_cur = x_sim  # pre-step state: the scoring anchor for NEXT cycle
+        x_s = jnp.tile(x_sim, (B, 1))
+        X = X.at[:, 0, :].set(x_s)
+        # hypotheses live in the WORLD frame (estimator dims [:3] = force,
+        # the reference's convention); the solver wants EE-frame [n; f]
+        # (mpc_controller.py:279-292 transform, done on device here)
+        if estimator == "observer":
+            # the Gauss-Newton observer needs no exploration lanes: lane 0
+            # carries the estimate, lane 1 the zero (safety) hypothesis
+            w_obs = fe_state.estimate
+            batch_w = jnp.concatenate(
+                [w_obs[None], jnp.zeros((1, 6), w_obs.dtype),
+                 jnp.tile(w_obs[None], (B - 2, 1))])
+        else:
+            batch_w = fe_generate(fe_state, dirs)
+        batch = jax.vmap(
+            lambda w: world_wrench_to_ee_frame(model, x_sim[:nq], w)
+        )(batch_w)
+
+        Xo, Uo, lam, hp_out, stats = solve_batched(
+            model, settings, cp, hp, X, U, lam, x_s,
+            jnp.tile(ref_k[None], (B, 1, 1)), batch, dt,
+        )
+        # score the PREVIOUS cycle's hypotheses against the state they
+        # predicted. Unlike the reference (one trapezoidal step,
+        # mpc_controller.py:294-309) the prediction uses the SAME RK4
+        # substepping as the plant: the integrator-mismatch floor of the
+        # one-step score otherwise swamps the per-step effect of a ~10 N
+        # hypothesis error and the estimator cannot converge
+        def pred_one(fe):
+            def sub(x, _):
+                return _rk4(model, x, u_last, h, f_ext=fe), None
+            return jax.lax.scan(sub, x_last, None, length=sim_substeps)[0]
+
+        pred = jax.vmap(pred_one)(batch_last)
+        errs = jnp.linalg.norm(pred - x_sim[None, :], axis=1)
+        best = jnp.argmin(errs)
+        key, sub = jax.random.split(key)
+        if estimator == "observer":
+            def pred_w(w):
+                fe_l = world_wrench_to_ee_frame(model, x_last[:nq], w)
+
+                def st(x, _):
+                    return _rk4(model, x, u_last, h, f_ext=fe_l), None
+                return jax.lax.scan(st, x_last, None,
+                                    length=sim_substeps)[0]
+
+            w_new = observer_update(pred_w, fe_state.estimate, x_sim)
+            # no valid transition before the first control was applied
+            w_new = jnp.where(fe_state.err_count > 0, w_new,
+                              fe_state.estimate)
+            from dataclasses import replace as _replace
+            fe_state = _replace(
+                fe_state, estimate=w_new, smoothed=w_new,
+                err_hist=jnp.concatenate(
+                    [fe_state.err_hist[1:], jnp.min(errs)[None]]),
+                err_count=fe_state.err_count + 1)
+        else:
+            fe_state = fe_update(fe_state, dirs, best, errs,
+                                 jax.random.uniform(sub, (3,)),
+                                 alpha=0.6, beta=0.5,  # mpc_controller.py:244
+                                 min_radius=1.0, max_radius=100.0)
+
+        u0 = Uo[best, 0]
+        # the true wrench is constant in the WORLD frame; re-express at the
+        # current configuration (once per cycle: the EE rotates little in
+        # one control period)
+        fe_loc = world_wrench_to_ee_frame(model, x_cur[:nq], true_f_ext)
+        if jax.default_backend() == "tpu":
+            def sub_step(x, _):
+                return rk4_step_batched_pallas(
+                    model, x[None], u0[None], h,
+                    f_ext=fe_loc[None])[0], None
+        else:
+            def sub_step(x, _):
+                return _rk4(model, x, u0, h, f_ext=fe_loc), None
+        x_sim, _ = jax.lax.scan(sub_step, x_sim, None, length=sim_substeps)
+
+        X = jnp.tile(Xo[best][None], (B, 1, 1))
+        U = jnp.tile(Uo[best][None], (B, 1, 1))
+        _, ps = fk(model, x_sim[:nq])
+        out = (x_sim, ps[-1], fe_state.smoothed, jnp.min(errs))
+        return (x_sim, X, U, lam, x_cur, u0, batch, fe_state, key), out
+
+    u_init = jnp.zeros((nu,), x0.dtype)
+    batch0 = fe_generate(fe0, dirs)
+    carry0 = (x_sim0, X, U, lam, x0, u_init, batch0, fe0, key)
+    _, (xs, ees, fests, errs) = jax.lax.scan(body, carry0, refs)
+    return xs, ees, fests, errs
