@@ -55,3 +55,14 @@ def test_hparam_batch_smoke():
     # normalized best-merit curves are non-increasing in expectation; just
     # require they end at or below the start (solver makes progress)
     assert cb[-1] <= cb[0] + 1e-6
+
+
+def test_force_adaptive_smoke():
+    import force_adaptive
+
+    out = force_adaptive.main(steps=12, B=6, N=8)
+    for mode in ("sphere", "observer"):
+        assert np.isfinite(out[mode]["force_err_N_final"])
+        assert out[mode]["ee_hold_err_m_tail"] < 0.3
+    # the observer identifies most of the wrench within a dozen cycles
+    assert out["observer"]["force_err_N_final"] < 2.0
