@@ -177,9 +177,11 @@ def test_vmap_batching(model):
     """Dynamics vectorize over a batch axis (the framework's core axis)."""
     rng = np.random.default_rng(8)
     B = 16
-    q = jnp.asarray(rng.uniform(-1, 1, (B, model.nq)), dtype=jnp.float32)
-    qd = jnp.asarray(rng.uniform(-1, 1, (B, model.nq)), dtype=jnp.float32)
-    tau = jnp.asarray(rng.uniform(-10, 10, (B, model.nq)), dtype=jnp.float32)
+    dt = model.R_tree.dtype  # match the model: mixed f32/f64 scatters are
+    # a FutureWarning (and will be an error) under standard promotion
+    q = jnp.asarray(rng.uniform(-1, 1, (B, model.nq)), dtype=dt)
+    qd = jnp.asarray(rng.uniform(-1, 1, (B, model.nq)), dtype=dt)
+    tau = jnp.asarray(rng.uniform(-10, 10, (B, model.nq)), dtype=dt)
     qdd_b = jax.vmap(lambda a, b, c: fd(model, a, b, c))(q, qd, tau)
     for i in range(0, B, 5):
         qdd_i = fd(model, q[i], qd[i], tau[i])
