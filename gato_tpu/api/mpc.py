@@ -105,6 +105,7 @@ class MPC_GATO:
         realtime=False,
         control_dt=None,
         seed=0,
+        estimator="sphere",
     ):
         """Per MPC cycle the simulation advances by:
           - the measured solve time if `realtime=True` (the reference's
@@ -173,7 +174,26 @@ class MPC_GATO:
             if np.any(self.constant_f_ext_world) else None
         )
 
-        if batch_size > 1:
+        # estimator="sphere": the reference's random-search ForceEstimator;
+        # "observer": the Gauss-Newton wrench observer
+        # (api/force_estimator_device.py — converges where the sphere
+        # search plateaus). Both need B > 1 hypothesis lanes.
+        self.estimator_mode = estimator
+        self._w_obs = np.zeros(6, np.float32)
+        self._obs_step = None
+        if batch_size > 1 and estimator == "observer":
+            self.force_estimator = None
+            from .common import rk4_step as _rk4s
+            from .force_estimator_device import observer_update
+
+            def _obs(w, x_last, u_last, x_meas, dt_cycle):
+                def pred(wh):
+                    return _rk4s(self.solver_model, x_last, u_last, dt_cycle,
+                                 f_ext_world=wh, substeps=2)
+                return observer_update(pred, w, x_meas)
+
+            self._obs_step = jax.jit(_obs)
+        elif batch_size > 1:
             self.force_estimator = ForceEstimator(
                 batch_size=batch_size, initial_radius=5.0, min_radius=2.0,
                 max_radius=20.0, smoothing_factor=0.5, seed=seed,
@@ -216,9 +236,16 @@ class MPC_GATO:
     def update_force_batch(self, q):
         """Generate wrench hypotheses and hand them to the solver in the EE
         frame (mpc_controller.py:279-292)."""
-        if self.batch_size == 1 or self.force_estimator is None:
+        if self.batch_size == 1:
             return
-        batch = self.force_estimator.generate_batch()
+        if self.estimator_mode == "observer":
+            # lane 0 = observer estimate, lane 1 = zero (safety), rest copy
+            batch = np.tile(self._w_obs, (self.batch_size, 1))
+            batch[1] = 0.0
+        elif self.force_estimator is None:
+            return
+        else:
+            batch = self.force_estimator.generate_batch()
         out = np.zeros_like(batch)
         for i in range(self.batch_size):
             out[i] = self.transform_force_to_gato_frame(q, batch[i])
@@ -236,12 +263,21 @@ class MPC_GATO:
     def evaluate_best_trajectory(self, x_last, u_last, x_curr, dt):
         """Pick the hypothesis whose one-step rollout best matches the
         measured state (mpc_controller.py:294-309)."""
-        if self.batch_size == 1 or self.force_estimator is None:
+        if self.batch_size == 1 or (self.force_estimator is None
+                                    and self._obs_step is None):
             return 0
         x_next = self.solver.sim_forward(x_last, u_last, dt)
         errors = np.linalg.norm(x_next - np.asarray(x_curr)[None, :], axis=1)
         best = int(np.argmin(errors))
-        self.force_estimator.update(best, errors, alpha=0.6, beta=0.5)
+        if self.estimator_mode == "observer":
+            self._w_obs = np.asarray(self._obs_step(
+                jnp.asarray(self._w_obs),
+                jnp.asarray(x_last, jnp.float32),
+                jnp.asarray(u_last, jnp.float32),
+                jnp.asarray(x_curr, jnp.float32),
+                jnp.float32(dt)), np.float32)
+        else:
+            self.force_estimator.update(best, errors, alpha=0.6, beta=0.5)
         return best
 
     def _cycle_timestep(self, solve_time):

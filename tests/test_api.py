@@ -139,3 +139,19 @@ def test_mpc_goals_smoke():
                                  goal_threshold=0.04, velocity_threshold=2.0)
     assert stats["goal_outcomes"][0] in ("reached", "timeout")
     assert len(stats["timestamps"]) > 0
+
+
+def test_mpc_observer_estimator_recovers_wrench():
+    """Host-path MPC with estimator='observer' (the Gauss-Newton wrench
+    observer, api/force_estimator_device.py): under a constant world-frame
+    EE force the observer identifies the wrench during fig-8 tracking."""
+    from gato_tpu.api.common import figure8
+
+    true_f = np.array([10.0, -6.0, 4.0, 0, 0, 0], np.float32)
+    mpc = MPC_GATO(plant_type="indy7", N=8, dt=0.01, batch_size=4,
+                   constant_f_ext=true_f, estimator="observer",
+                   control_dt=0.01)
+    x0 = np.concatenate([INDY7_START_CONFIGS["ready"],
+                         np.zeros(6)]).astype(np.float32)
+    mpc.run_mpc_fig8(x0, figure8(0.01), sim_time=0.25, sim_dt=0.005)
+    assert np.linalg.norm(mpc._w_obs[:3] - true_f[:3]) < 1.0
