@@ -44,37 +44,31 @@ def pick_solver(N, B, requested="auto"):
     return "btd" if B >= 32 else "pcg"
 
 
-def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
-                verbose_work=False, timing="device", **setting_overrides):
-    """Steady-state MPC solve time.
-
-    timing="device": sustained per-cycle device time, measured by chaining
-    k closed-loop MPC cycles (solve -> RK4 sim -> rolled fig-8 reference
-    window) inside one jitted fori_loop — one host dispatch per chain, so
-    the tunnel's per-dispatch jitter doesn't pollute sub-ms cycles. This is
-    also how the framework actually runs closed-loop (api/rollout.py).
-    timing="wall": legacy per-dispatch wall timing (includes host dispatch).
-    """
+def steady_state_problem(N, B, plant="indy7", settings=None):
+    """Warm a batch into the MPC steady state (6 closed-loop fig-8 cycles:
+    solve -> RK4 sim under the first planned control -> roll the reference
+    window). Returns (model, cp, hp, X, U, lam, x_s, ref, f_ext, dtj, traj,
+    step) — the inputs every benchmark/verification arm starts from, so
+    different kernel arms are compared on the identical warm-started problem
+    (the reference's heatmap also times warm-started solves inside the
+    closed loop, examples/benchmark_fig8.py:80-105)."""
     import jax
     import jax.numpy as jnp
 
-    from gato_tpu.api.common import figure8
+    from gato_tpu.api.common import figure8, rk4_step
     from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS, INDY7_START_CONFIGS
     from gato_tpu.ops.cost import CostParams
     from gato_tpu.robots.model import load_robot
-    from gato_tpu.solver.bsqp import solve_batched, solve_batched_jit
+    from gato_tpu.solver.bsqp import solve_batched_jit
     from gato_tpu.solver.types import BSQPSettings, HyperParams
-    from gato_tpu.utils.timing import time_fn, time_loop_fn
 
     p = DEFAULT_SOLVER_PARAMS
     model = load_robot(plant)
     nx, nu = model.nx, model.nu
-    settings = BSQPSettings(
-        N=N, max_sqp_iters=sqp_iters or p["max_sqp_iters"],
-        max_pcg_iters=p["max_pcg_iters"],
-        linear_solver=pick_solver(N, B, solver),
-        **setting_overrides,
-    )
+    if settings is None:
+        settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
+                                max_pcg_iters=p["max_pcg_iters"],
+                                linear_solver=pick_solver(N, B, "auto"))
     cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
                            u_cost=p["u_cost"], N_cost=p["N_cost"],
                            q_lim_cost=p["q_lim_cost"])
@@ -101,12 +95,6 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
     f_ext = jnp.asarray(f_ext_np)
     dtj = jnp.float32(dt)
 
-    # Warm up into MPC steady state (the reference's heatmap numbers average
-    # solves inside the closed-loop fig-8 task, i.e. warm-started problems):
-    # advance the reference window and re-pin the start state a few cycles,
-    # then freeze the state and time the identical steady-state solve.
-    from gato_tpu.api.common import rk4_step
-
     step = 0
     x_s = jnp.asarray(np.tile(x0, (B, 1)))
     sim = jax.jit(lambda x, u: rk4_step(model, x, u, dtj, substeps=10))
@@ -121,6 +109,39 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
         x_s = jnp.tile(sim(x_s[0], U[0, 0])[None], (B, 1))
         X = X.at[:, 0, :].set(x_s)
     ref = jnp.asarray(np.tile(traj[step:step + N], (B, 1, 1)).astype(np.float32))
+    return model, cp, hp, X, U, lam, x_s, ref, f_ext, dtj, traj, step
+
+
+def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
+                verbose_work=False, timing="device", **setting_overrides):
+    """Steady-state MPC solve time.
+
+    timing="device": sustained per-cycle device time, measured by chaining
+    k closed-loop MPC cycles (solve -> RK4 sim -> rolled fig-8 reference
+    window) inside one jitted fori_loop — one host dispatch per chain, so
+    the tunnel's per-dispatch jitter doesn't pollute sub-ms cycles. This is
+    also how the framework actually runs closed-loop (api/rollout.py).
+    timing="wall": legacy per-dispatch wall timing (includes host dispatch).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS
+    from gato_tpu.api.common import rk4_step
+    from gato_tpu.solver.bsqp import solve_batched, solve_batched_jit
+    from gato_tpu.solver.types import BSQPSettings
+    from gato_tpu.utils.timing import time_fn, time_loop_fn
+
+    p = DEFAULT_SOLVER_PARAMS
+    settings = BSQPSettings(
+        N=N, max_sqp_iters=sqp_iters or p["max_sqp_iters"],
+        max_pcg_iters=p["max_pcg_iters"],
+        linear_solver=pick_solver(N, B, solver),
+        **setting_overrides,
+    )
+    (model, cp, hp, X, U, lam, x_s, ref, f_ext, dtj, traj,
+     step) = steady_state_problem(N, B, plant=plant, settings=settings)
+    nx, nu = model.nx, model.nu
 
     def f(X, U, lam):
         return solve_batched_jit(model, settings, cp, hp, X, U, lam,

@@ -228,6 +228,17 @@ def iter_channels(cd, key, cp: CostParams, N: int, max_pcg_iters: int,
     for c in range(nu):
         btl = chsum([chmul(B_ch[r][c], lam_next[r]) for r in range(nx)])
         dzu.append(mat(chneg(chmul(Rinv[c], chadd(rv[c], btl)))))
+    if pvalid is not None:
+        # padding problems' all-zero inputs drive the channel Cholesky
+        # non-finite ON THE REAL CHIP (TPU rsqrt(0); CPU interpret runs
+        # happened to stay finite, which is how this escaped CI — caught by
+        # tools/tpu_verify_kernels.py). Scrub with where, NOT multiply:
+        # NaN * 0 = NaN, and any later per-segment matmul reduction
+        # (pallas_solve._segsum) would smear one padding NaN across every
+        # real problem in the lane row.
+        dzx = [jnp.where(vb, d, 0.0) for d in dzx]
+        dzu = [jnp.where(vb, d, 0.0) for d in dzu]
+        lam_out = [jnp.where(vb, c, 0.0) for c in lam_out]
     if debug:
         dbg = dict(S_main=S_main, S_lower=S_lower, P_main=P_main,
                    P_lower=P_lower, gamma=gamma)

@@ -117,7 +117,9 @@ def merit_channels(cd, key, cp: CostParams, N: int, dt, integrator_type: int,
     knot = jnp.where(lane < N, knot, 0.0)
     pen = (jnp.where(lane < N - 1, _mat(defect, like), 0.0)
            + jnp.where(lane == 0, _mat(init_viol, like), 0.0))
-    return _segsum((knot + mu * pen) * pvalid, seg)
+    # where, not *: a non-finite knot/pen on a padding lane would survive a
+    # multiply-by-zero and _segsum's lane matmul smears it across the row
+    return _segsum(jnp.where(pvalid > 0.5, knot + mu * pen, 0.0), seg)
 
 
 def solve_channels(cd, key, cp: CostParams, N: int, B: int,
@@ -132,7 +134,9 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
     fe: 6, lam: nx, rho/drho/mu/eps: per-problem channels constant over
     segment lanes; pvalid: 0/1 mask of real (non-padding) problems.
     Returns (X nx, U nu, lam nx, rho, drho, converged, merit0, merit_final,
-    iters_run, pcg_it[max_sqp_iters], ls_merit[...], ls_step[...]) channels.
+    sqp_iters (per-problem: the iteration at which the problem converged,
+    or iterations run), pcg_it[max_sqp_iters], ls_merit[...], ls_step[...])
+    channels.
     """
     nq = cd.nq
     nx, nu = 2 * nq, nq
@@ -179,7 +183,7 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
     zero = jnp.zeros_like(like)
     st0 = dict(
         X=tuple(X), U=tuple(U), lam=tuple(lam), rho=rho, drho=drho,
-        mbase=zero, merit0=zero, converged=zero,
+        mbase=zero, merit0=zero, converged=zero, sqp=zero,
         pcg=(zero,) * max_sqp_iters, lsm=(zero,) * max_sqp_iters,
         lss=(zero,) * max_sqp_iters,
         it=jnp.int32(0), exit=jnp.int32(0),
@@ -198,11 +202,17 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
             X, U, xs, r3, fe, lam, rho, eps, s["converged"], like,
             seg=seg, pvalid=pvalid)
         pcg_it = pcg_it[0]
-        # padding problems produce finite-garbage steps; zero them so their
-        # trajectories stay at the (finite) zero point across iterations
-        dzx = [d * pvalid for d in dzx]
-        dzu = [d * pvalid for d in dzu]
+        # padding problems produce garbage steps (non-finite on the real
+        # chip); zero them so their trajectories stay at the (finite) zero
+        # point across iterations. iter_channels already where-scrubs its
+        # outputs; keep this as a where (NaN * 0 = NaN) for defense in depth.
+        pv = pvalid > 0.5
+        dzx = [jnp.where(pv, d, 0.0) for d in dzx]
+        dzu = [jnp.where(pv, d, 0.0) for d in dzu]
 
+        # per-problem iteration count: +1 while not yet converged, including
+        # the converging iteration (solver/bsqp.py per-lane sqp_iters note)
+        sqp = jnp.where(s["converged"] > 0.5, s["sqp"], s["sqp"] + 1.0)
         converged = jnp.maximum(s["converged"],
                                 (pcg_it == 0).astype(like.dtype))
         solved = jnp.sum(converged * lane0f)
@@ -253,7 +263,7 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
             rho=jnp.where(ex, rho, rho_n),
             drho=jnp.where(ex, drho, drho_n),
             mbase=jnp.where(ex, mbase, m_n), merit0=merit0,
-            converged=converged, pcg=pcg,
+            converged=converged, sqp=sqp, pcg=pcg,
             lsm=tuple(jnp.where(jnp.logical_and(it == i, ~ex), m_n,
                                 s["lsm"][i]) for i in range(max_sqp_iters)),
             lss=tuple(jnp.where(jnp.logical_and(it == i, ~ex), step,
@@ -279,10 +289,9 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
 
     # mbase IS merit(X, U) of the returned trajectory by induction (it is
     # updated to the accepted candidate's merit, or kept when X, U are kept)
-    it_ch = jnp.full_like(like, s["it"].astype(like.dtype))
     return (list(s["X"]) + list(s["U"]) + list(s["lam"])
             + [s["rho"], s["drho"], s["converged"], s["merit0"], s["mbase"],
-               it_ch]
+               s["sqp"]]
             + list(s["pcg"]) + list(s["lsm"]) + list(s["lss"]))
 
 
@@ -340,8 +349,9 @@ def sqp_solve_pallas(model: RobotModel, cp: CostParams, X, U, lam, x_s, ref,
 
     X (B,N,nx), U (B,N-1,nu), lam (B,N,nx), x_s (B,nx), ref (B,N,>=3),
     f_ext (B,6), rho/drho/mu/pcg_tol (B,). Returns
-    (X, U, lam, rho, drho, converged, merit0, merit_final, iters_run,
-    pcg_iters (max_sqp_iters, B), ls_merit (..., B), ls_step (..., B)).
+    (X, U, lam, rho, drho, converged, merit0, merit_final, sqp_iters (B,)
+    per-lane, pcg_iters (max_sqp_iters, B), ls_merit (..., B),
+    ls_step (..., B)).
     """
     cd = _get_cd(model.key)
     nq = cd.nq

@@ -231,10 +231,18 @@ def solve_batched(
                     dZX, dZU, pcg_iters):
         """Convergence bookkeeping + merit sweep + line search — the shared
         tail of one SQP iteration (bsqp.cuh:160-177)."""
+        # Per-lane iteration count: +1 while the lane is not yet converged,
+        # including the converging iteration. The reference's per-lane
+        # counter (bsqp.cuh:141-163, h_sqp_iters_B_) degenerates to the
+        # global iteration count for every lane (converged lanes' stale
+        # pcg_iterations==0 re-trigger the increment each iteration); we
+        # report the more informative "converged after k iterations" flip
+        # point instead, which the hparam-batch convergence curves consume.
+        prev_converged = converged
         converged = jnp.logical_or(converged, pcg_iters == 0)
         num_solved = jnp.sum(converged.astype(jnp.int32))
         exit_now = num_solved >= B * settings.solve_ratio
-        sqp_iters = state["sqp_iters"] + 1
+        sqp_iters = state["sqp_iters"] + (~prev_converged).astype(jnp.int32)
 
         stats = state["stats"]
         stats = dict(
@@ -318,7 +326,7 @@ def solve_batched(
     hp_out = HyperParams(rho=state["rho"], drho=hp.drho, mu=hp.mu,
                          pcg_tol=hp.pcg_tol)
     stats = SQPStats(
-        sqp_iters=state["sqp_iters"] * jnp.ones(B, dtype=jnp.int32),
+        sqp_iters=state["sqp_iters"],
         kkt_converged=state["converged"].astype(jnp.int32),
         pcg_iters=state["stats"]["pcg_iters"],
         ls_min_merit=state["stats"]["ls_min_merit"],

@@ -73,7 +73,10 @@ class SQPStats:
     """Per-solve statistics, the pytree analogue of SQPStats
     (gato/types.cuh:46-59 -> bindings.cu:96-147)."""
 
-    sqp_iters: jax.Array  # (B,) int32
+    sqp_iters: jax.Array  # (B,) int32: per-lane iteration at which the lane
+    # converged (pcg_iters==0), or iterations run if it never did. (The
+    # reference's h_sqp_iters_B_ counter, bsqp.cuh:141-163, degenerates to
+    # the global count for every lane; see solver/bsqp.py.)
     kkt_converged: jax.Array  # (B,) int32
     pcg_iters: jax.Array  # (max_sqp_iters, B) int32
     ls_min_merit: jax.Array  # (max_sqp_iters, B)

@@ -138,9 +138,9 @@ def test_solve_channels_matches_xla_solver(setup64, max_sqp_iters):
                                rtol=1e-8)
     np.testing.assert_array_equal(conv_c.astype(int),
                                   np.asarray(stats.kkt_converged))
+    # per-lane sqp_iters channel (iteration at which the lane converged)
     np.testing.assert_array_equal(iters_run_c.astype(int),
-                                  int(np.asarray(stats.num_iters_run))
-                                  * np.ones(B, int))
+                                  np.asarray(stats.sqp_iters))
     assert np.abs(pcg_c - np.asarray(stats.pcg_iters)).max() <= 2
     np.testing.assert_allclose(lsm_c, np.asarray(stats.ls_min_merit),
                                rtol=1e-8, atol=1e-12)

@@ -215,6 +215,55 @@ def test_sqp_reduces_merit_closed_loop():
     assert float(jnp.linalg.norm(ee - goal)) < 0.02
 
 
+def test_per_lane_sqp_iters():
+    """stats.sqp_iters varies per lane when lanes converge at different
+    iterations (bsqp.cuh:141-163 mask flip): a lane warm-started at an
+    already-converged solution takes 0 PCG iterations on its first SQP
+    iteration and its count freezes at 1; a cold lane counts every
+    iteration."""
+    model, _, cp, _ = _mpc_setup(1)
+    N, nx, nu = 8, model.nx, model.nu
+    q0 = jnp.asarray([-1.0966, -0.099, 0.8313, -0.109, 0.497, 0.015],
+                     jnp.float32)
+    x0 = jnp.concatenate([q0, jnp.zeros(6, jnp.float32)])
+    ref1 = jnp.tile(jnp.asarray([-0.3, 0.3, 0.9, 0, 0, 0], jnp.float32),
+                    (1, N, 1))
+    fe1 = jnp.zeros((1, 6), jnp.float32)
+
+    # converge lane 0's problem (repeat solves until pcg_iters==0 upfront)
+    st_pre = BSQPSettings(N=N, max_sqp_iters=20, max_pcg_iters=100,
+                          linear_solver="pcg")
+    hp = HyperParams.create(1, rho=0.01, mu=10.0, pcg_tol=1e-6)
+    X = jnp.tile(x0, (1, N, 1))
+    U = jnp.zeros((1, N - 1, nu), jnp.float32)
+    lam = jnp.zeros((1, N, nx), jnp.float32)
+    for _ in range(3):
+        X, U, lam, hp, stats = solve_batched_jit(
+            model, st_pre, cp, hp, X, U, lam, x0[None], ref1, fe1,
+            jnp.float32(0.01))
+    assert int(np.asarray(stats.sqp_iters)[0]) == 1  # pre-converged
+
+    B = 2
+    st = BSQPSettings(N=N, max_sqp_iters=3, max_pcg_iters=100,
+                      linear_solver="pcg")
+    hp2 = HyperParams(
+        rho=jnp.concatenate([hp.rho, jnp.asarray([0.01], jnp.float32)]),
+        drho=jnp.ones(B, jnp.float32), mu=jnp.full(B, 10.0, jnp.float32),
+        pcg_tol=jnp.full(B, 1e-6, jnp.float32))
+    Xb = jnp.concatenate([X, jnp.tile(x0, (1, N, 1))])
+    Ub = jnp.concatenate([U, jnp.zeros((1, N - 1, nu), jnp.float32)])
+    lamb = jnp.concatenate([lam, jnp.zeros((1, N, nx), jnp.float32)])
+    *_, stats = solve_batched_jit(
+        model, st, cp, hp2, Xb, Ub, lamb, jnp.tile(x0, (B, 1)),
+        jnp.tile(ref1, (B, 1, 1)), jnp.zeros((B, 6), jnp.float32),
+        jnp.float32(0.01))
+    it = np.asarray(stats.sqp_iters)
+    assert it[0] == 1, it
+    assert it[1] == st.max_sqp_iters, it
+    conv = np.asarray(stats.kkt_converged)
+    assert conv[0] == 1 and conv[1] == 0
+
+
 def test_sim_forward_fext_lanes():
     model = load_robot("iiwa14")
     B = 2
