@@ -56,7 +56,26 @@ class BSQP:
         adapt_rho=True,
         plant_type="indy7",
         f_ext_in_ee_frame=True,
+        precision="float",
     ):
+        # precision: "float" (f32, the production TPU path) or "double" —
+        # the CPU-only analogue of the reference's BSQP_{B}_double class
+        # registrations (python/bindings.cu:253-264). TPUs have no f64
+        # arithmetic, so "double" requires the CPU backend (it exists for
+        # oracle/debug runs, same as the reference's double instantiations).
+        if precision not in ("float", "double"):
+            raise ValueError(f"precision must be 'float'|'double', got {precision!r}")
+        if precision == "double":
+            if jax.default_backend() == "tpu":
+                raise RuntimeError(
+                    "precision='double' needs the CPU backend (TPU has no "
+                    "f64); jax.config.update('jax_platforms', 'cpu') and "
+                    "enable x64 first")
+            if not jax.config.jax_enable_x64:
+                jax.config.update("jax_enable_x64", True)
+        self.precision = precision
+        self._dtype = jnp.float64 if precision == "double" else jnp.float32
+        self._np_dtype = np.float64 if precision == "double" else np.float32
         if plant_type is None:
             plant_type = "iiwa14" if (model_path and "iiwa" in str(model_path).lower()) else "indy7"
         self.plant_type = plant_type
@@ -65,9 +84,9 @@ class BSQP:
         if plant_type in ("indy7", "iiwa14") and model_path is None:
             source = plant_type
         try:
-            self.model: RobotModel = load_robot(source)
+            self.model: RobotModel = load_robot(source, dtype=self._dtype)
         except FileNotFoundError:
-            self.model = load_robot(plant_type)
+            self.model = load_robot(plant_type, dtype=self._dtype)
 
         self.batch_size = int(batch_size)
         self.N = int(N)
@@ -88,30 +107,31 @@ class BSQP:
         self.cost_params = CostParams.create(
             q_cost=q_cost, qd_cost=qd_cost, u_cost=u_cost, N_cost=N_cost,
             q_lim_cost=q_lim_cost, vel_lim_cost=vel_lim_cost,
-            ctrl_lim_cost=ctrl_lim_cost,
+            ctrl_lim_cost=ctrl_lim_cost, dtype=self._dtype,
         )
         B = self.batch_size
-        self._hp_init = HyperParams.create(B, rho=rho, mu=mu, pcg_tol=pcg_tol)
+        self._hp_init = HyperParams.create(B, rho=rho, mu=mu, pcg_tol=pcg_tol,
+                                           dtype=self._dtype)
         if rho_batch is not None:
-            arr = jnp.asarray(np.asarray(rho_batch, np.float32).reshape(B))
+            arr = jnp.asarray(np.asarray(rho_batch, self._np_dtype).reshape(B))
             self._hp_init = HyperParams(arr, self._hp_init.drho, self._hp_init.mu,
                                         self._hp_init.pcg_tol)
         if mu_batch is not None:
-            arr = jnp.asarray(np.asarray(mu_batch, np.float32).reshape(B))
+            arr = jnp.asarray(np.asarray(mu_batch, self._np_dtype).reshape(B))
             self._hp_init = HyperParams(self._hp_init.rho, self._hp_init.drho,
                                         arr, self._hp_init.pcg_tol)
         if pcg_tol_batch is not None:
-            arr = jnp.asarray(np.asarray(pcg_tol_batch, np.float32).reshape(B))
+            arr = jnp.asarray(np.asarray(pcg_tol_batch, self._np_dtype).reshape(B))
             self._hp_init = HyperParams(self._hp_init.rho, self._hp_init.drho,
                                         self._hp_init.mu, arr)
         self.hp = self._hp_init
 
-        self.lam = jnp.zeros((B, self.N, self.nx), jnp.float32)
-        self.f_ext_B = jnp.zeros((B, 6), jnp.float32)
+        self.lam = jnp.zeros((B, self.N, self.nx), self._dtype)
+        self.f_ext_B = jnp.zeros((B, 6), self._dtype)
         self._f_ext_in_ee_frame = f_ext_in_ee_frame
 
         self.XU_B = np.zeros((B, self.N * (self.nx + self.nu) - self.nu),
-                             dtype=np.float32)
+                             dtype=self._np_dtype)
         self.stats = {}
         # sustained on-device per-solve time (us), set by
         # calibrate_device_time(); wall-clock sqp_time_us on this runtime
@@ -129,14 +149,14 @@ class BSQP:
         full = np.concatenate([XU, pad], axis=1).reshape(B, N, stride)
         X = full[:, :, :nx]
         U = full[:, :-1, nx:]
-        return jnp.asarray(X, jnp.float32), jnp.asarray(U, jnp.float32)
+        return jnp.asarray(X, self._dtype), jnp.asarray(U, self._dtype)
 
     def _flatten(self, X, U):
         B, N, nx, nu = self.batch_size, self.N, self.nx, self.nu
-        X = np.asarray(X, np.float32)
-        U = np.asarray(U, np.float32)
+        X = np.asarray(X, self._np_dtype)
+        U = np.asarray(U, self._np_dtype)
         full = np.concatenate(
-            [X, np.concatenate([U, np.zeros((B, 1, nu), np.float32)], axis=1)],
+            [X, np.concatenate([U, np.zeros((B, 1, nu), self._np_dtype)], axis=1)],
             axis=2,
         ).reshape(B, N * (nx + nu))
         return full[:, : N * (nx + nu) - nu]
@@ -147,11 +167,11 @@ class BSQP:
         """One batched BSQP solve (interface.py:122-210). Returns
         (XU_B, solve_time_us) and fills `self.stats`."""
         B = self.batch_size
-        xcur_B = np.asarray(xcur_B, np.float32).reshape(B, self.nx)
-        ref = np.asarray(eepos_goals_B, np.float32).reshape(B, self.N, 6)
+        xcur_B = np.asarray(xcur_B, self._np_dtype).reshape(B, self.nx)
+        ref = np.asarray(eepos_goals_B, self._np_dtype).reshape(B, self.N, 6)
         if XU_B is None:
             XU_B = self.XU_B
-        XU_B = np.asarray(XU_B, np.float32).reshape(B, -1).copy()
+        XU_B = np.asarray(XU_B, self._np_dtype).reshape(B, -1).copy()
         XU_B[:, : self.nx] = xcur_B  # pin warm start to measured state
 
         X, U = self._unflatten(XU_B)
@@ -159,7 +179,7 @@ class BSQP:
         Xo, Uo, lam, hp, st = solve_batched_jit(
             self.model, self.settings, self.cost_params, self.hp,
             X, U, self.lam, jnp.asarray(xcur_B), jnp.asarray(ref),
-            self.f_ext_B, jnp.float32(self.dt),
+            self.f_ext_B, self._dtype(self.dt),
         )
         jax.block_until_ready(Xo)
         solve_time_us = int((time.perf_counter() - t0) * 1e6)
@@ -183,6 +203,10 @@ class BSQP:
             "best_initial_merit": float(initial_merit.min()) if initial_merit.size else np.array([]),
             "ls_num_iters": n_run,
             "pcg_iters": pcg_iters.astype(np.int32),
+            # zeros by contract: the reference also hardcodes PCG stage time
+            # to 0 (its cudaEvent pair is commented out, bsqp.cuh:125-138);
+            # per-stage device timing lives in tools/profile_stages.py, and
+            # whole-solve device time in stats['sqp_time_us_device']
             "pcg_times_us": np.zeros(n_run, np.float32),
             "min_merit": min_merit.astype(np.float32),
             "step_size": step_size.astype(np.float32),
@@ -211,11 +235,11 @@ class BSQP:
         from ..utils.timing import time_loop_fn
 
         B = self.batch_size
-        xcur_B = np.asarray(xcur_B, np.float32).reshape(B, self.nx)
-        ref = np.asarray(eepos_goals_B, np.float32).reshape(B, self.N, 6)
+        xcur_B = np.asarray(xcur_B, self._np_dtype).reshape(B, self.nx)
+        ref = np.asarray(eepos_goals_B, self._np_dtype).reshape(B, self.N, 6)
         if XU_B is None:
             XU_B = self.XU_B
-        XU_B = np.asarray(XU_B, np.float32).reshape(B, -1).copy()
+        XU_B = np.asarray(XU_B, self._np_dtype).reshape(B, -1).copy()
         XU_B[:, : self.nx] = xcur_B
         X, U = self._unflatten(XU_B)
         lam = self.lam
@@ -224,7 +248,7 @@ class BSQP:
         x_s = jnp.asarray(xcur_B)
         refj = jnp.asarray(ref)
         fe = self.f_ext_B
-        dtj = jnp.float32(self.dt)
+        dtj = self._dtype(self.dt)
 
         def cycle(c):
             Xc, Uc, lamc = c
@@ -244,40 +268,40 @@ class BSQP:
     def sim_forward(self, xk, uk, sim_dt):
         """Batched one-step rollout of (xk, uk) under each lane's f_ext
         hypothesis (interface.py:221-224)."""
-        xk = jnp.asarray(np.asarray(xk, np.float32).reshape(self.nx))
-        uk = jnp.asarray(np.asarray(uk, np.float32).reshape(self.nu))
+        xk = jnp.asarray(np.asarray(xk, self._np_dtype).reshape(self.nx))
+        uk = jnp.asarray(np.asarray(uk, self._np_dtype).reshape(self.nu))
         out = sim_forward_batched(self.model, xk, uk, self.f_ext_B,
-                                  jnp.float32(sim_dt))
+                                  self._dtype(sim_dt))
         return np.asarray(out)
 
     def ee_pos(self, q):
         """EE position via the framework's own FK (the reference used
         Pinocchio here, interface.py:212-214)."""
-        q = jnp.asarray(np.asarray(q, np.float32).reshape(self.nq))
+        q = jnp.asarray(np.asarray(q, self._np_dtype).reshape(self.nq))
         return np.asarray(_ee_position(self.model, q)[:3])
 
     # ---- state management (interface.py:216-234, bsqp.cuh:63-89) ----
 
     def set_rho_penalty_batch(self, rho_batch, set_as_reset_default=True):
-        arr = jnp.asarray(np.asarray(rho_batch, np.float32).reshape(self.batch_size))
+        arr = jnp.asarray(np.asarray(rho_batch, self._np_dtype).reshape(self.batch_size))
         self.hp = HyperParams(arr, self.hp.drho, self.hp.mu, self.hp.pcg_tol)
         if set_as_reset_default:
             self._hp_init = HyperParams(arr, self._hp_init.drho,
                                         self._hp_init.mu, self._hp_init.pcg_tol)
 
     def set_drho_batch(self, drho_batch, set_as_reset_default=True):
-        arr = jnp.asarray(np.asarray(drho_batch, np.float32).reshape(self.batch_size))
+        arr = jnp.asarray(np.asarray(drho_batch, self._np_dtype).reshape(self.batch_size))
         self.hp = HyperParams(self.hp.rho, arr, self.hp.mu, self.hp.pcg_tol)
         if set_as_reset_default:
             self._hp_init = HyperParams(self._hp_init.rho, arr,
                                         self._hp_init.mu, self._hp_init.pcg_tol)
 
     def set_mu_batch(self, mu_batch):
-        arr = jnp.asarray(np.asarray(mu_batch, np.float32).reshape(self.batch_size))
+        arr = jnp.asarray(np.asarray(mu_batch, self._np_dtype).reshape(self.batch_size))
         self.hp = HyperParams(self.hp.rho, self.hp.drho, arr, self.hp.pcg_tol)
 
     def set_pcg_tol_batch(self, pcg_tol_batch):
-        arr = jnp.asarray(np.asarray(pcg_tol_batch, np.float32).reshape(self.batch_size))
+        arr = jnp.asarray(np.asarray(pcg_tol_batch, self._np_dtype).reshape(self.batch_size))
         self.hp = HyperParams(self.hp.rho, self.hp.drho, self.hp.mu, arr)
 
     def set_rho_adaptation(self, enabled: bool):
@@ -289,7 +313,7 @@ class BSQP:
 
     def set_f_ext_B(self, f_ext_B):
         self.f_ext_B = jnp.asarray(
-            np.asarray(f_ext_B, np.float32).reshape(self.batch_size, 6)
+            np.asarray(f_ext_B, self._np_dtype).reshape(self.batch_size, 6)
         )
 
     def reset_rho(self):

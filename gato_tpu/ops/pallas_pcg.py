@@ -86,22 +86,30 @@ def _dot(a, b, valid, seg=None):
 
     With `seg`, lanes hold L/seg independent problems: reduce+broadcast per
     segment via one matmul with the block-diagonal ones matrix (forced f32 —
-    the TPU bf16 dot_general default would corrupt Krylov scalars)."""
+    the TPU bf16 dot_general default would corrupt Krylov scalars).
+
+    The matmul path is used even for a single whole-row segment: the
+    jnp.sum + broadcast_to alternative produces a LANE-REPLICATED Mosaic
+    layout ({0,*}), and a replicated rho/iters entering the scf.while carry
+    cannot be relayouted back from the concrete layout the loop body
+    produces ("Invalid relayout: non-singleton logical dimension is
+    replicated in destination but not in source" at seg == L, caught on
+    hardware by tools/tpu_verify_kernels.py at N=128). The 0/1 matmul at
+    Precision.HIGHEST is exact in f32 and keeps every carry concrete."""
     acc = None
     for r in range(len(a)):
         m = a[r] * b[r]
         acc = m if acc is None else acc + m
     acc = acc * valid
-    if seg is not None and seg != acc.shape[1]:
-        i = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[1],) * 2, 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[1],) * 2, 1)
-        segmat = (i // seg == j // seg).astype(acc.dtype)
-        return jax.lax.dot_general(
-            acc, segmat, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=acc.dtype)
-    s = jnp.sum(acc, axis=1, keepdims=True)
-    return jnp.broadcast_to(s, acc.shape)
+    L = acc.shape[1]
+    s = seg if seg is not None else L
+    i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    segmat = (i // s == j // s).astype(acc.dtype)
+    return jax.lax.dot_general(
+        acc, segmat, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=acc.dtype)
 
 
 def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,

@@ -29,6 +29,32 @@ def test_warm_start_layout():
     assert np.all(XU[12:18] == 0)
 
 
+def test_bsqp_double_precision_mode():
+    """precision='double' — the CPU-only analogue of the reference's
+    BSQP_{B}_double registrations (python/bindings.cu:253-264): same API,
+    f64 arrays end to end, and the solve makes progress."""
+    B, N = 2, 6
+    p = DEFAULT_SOLVER_PARAMS
+    solver = BSQP(plant_type="indy7", batch_size=B, N=N, dt=0.01,
+                  max_sqp_iters=2, max_pcg_iters=50, mu=p["mu"],
+                  q_cost=p["q_cost"], qd_cost=p["qd_cost"],
+                  u_cost=p["u_cost"], N_cost=p["N_cost"],
+                  q_lim_cost=p["q_lim_cost"], rho=p["rho"],
+                  precision="double")
+    assert solver.XU_B.dtype == np.float64
+    q0 = INDY7_START_CONFIGS["ready"]
+    x0 = np.concatenate([q0, np.zeros(6)])
+    ee = solver.ee_pos(q0)
+    ref = np.tile(np.concatenate([ee + 0.02, np.zeros(3)]), (B, N))
+    XU, _ = solver.solve(np.tile(x0, (B, 1)), ref)
+    assert XU.dtype == np.float64
+    s = solver.get_stats()
+    assert np.isfinite(s["final_merit"]).all()
+    assert (s["final_merit"] <= s["initial_merit"] + 1e-9).all()
+    with pytest.raises(ValueError):
+        BSQP(precision="half")
+
+
 def test_bsqp_interface_stats_surface():
     B, N = 4, 8
     p = DEFAULT_SOLVER_PARAMS

@@ -57,6 +57,52 @@ def test_sharded_solve_matches_single_device():
     assert 0 <= b < B
 
 
+def test_sharded_equals_unsharded_realistic_shape():
+    """Sharded-vs-unsharded equality at a realistic workload shape
+    (N=32, B=128, 16 lanes per virtual device) with DISTINCT lanes:
+    per-lane wrench hypotheses, perturbed warm starts, and per-lane rho.
+    Multi-chip correctness as an equality property, not a finiteness
+    check (SURVEY.md §2.3 multi-chip extension)."""
+    assert len(jax.devices()) >= 8
+    model = load_robot("indy7")
+    N, B = 32, 128
+    st = BSQPSettings(N=N, max_sqp_iters=2, max_pcg_iters=25)
+    cp = CostParams.create(q_cost=2.0, qd_cost=1e-2, u_cost=2e-6,
+                           N_cost=50.0, q_lim_cost=0.01)
+    rng = np.random.default_rng(3)
+    hp = HyperParams(
+        rho=jnp.asarray(rng.uniform(1e-3, 1e-1, B), jnp.float32),
+        drho=jnp.ones(B, jnp.float32),
+        mu=jnp.full(B, 10.0, jnp.float32),
+        pcg_tol=jnp.full(B, 1e-4, jnp.float32))
+    X, U, lam, x_s, ref, _ = _problem(B, N, model)
+    X = X + jnp.asarray(rng.uniform(-0.05, 0.05, X.shape), jnp.float32)
+    X = X.at[:, 0, :].set(x_s)
+    f_ext = jnp.asarray(rng.uniform(-5, 5, (B, 6)), jnp.float32)
+    dt = jnp.float32(0.01)
+
+    X1, U1, lam1, hp1, st1 = solve_batched_jit(
+        model, st, cp, hp, X, U, lam, x_s, ref, f_ext, dt)
+
+    mesh = make_mesh(jax.devices()[:8])
+    Xs, Us, lams, x_ss, refs, fes, hps = shard_solve_args(
+        mesh, X, U, lam, x_s, ref, f_ext, hp)
+    X2, U2, lam2, hp2, st2 = solve_batched_sharded(
+        model, st, cp, hps, Xs, Us, lams, x_ss, refs, fes, dt)
+
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st1.final_merit),
+                               np.asarray(st2.final_merit),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(st1.sqp_iters),
+                                  np.asarray(st2.sqp_iters))
+    np.testing.assert_array_equal(np.asarray(st1.ls_step_size),
+                                  np.asarray(st2.ls_step_size))
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
