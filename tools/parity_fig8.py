@@ -21,15 +21,28 @@ Usage: python tools/parity_fig8.py [--cells N8_B1,N32_B1,...] [--cycles 400]
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+# runnable as `python tools/parity_fig8.py` without an editable install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                    if "__file__" in globals() else ".", "PARITY_RESULTS.json")
 OUT = os.path.normpath(OUT)
 
 
-def run_cell(N, B, cycles, seed=0, sqp_iters=None):
+def run_cell(N, B, cycles, seed=0, sqp_iters=None, realtime=False):
+    """realtime=True reproduces the reference benchmark's REAL-TIME
+    EMULATION (mpc_controller.py:189-216): the simulation advances by the
+    measured solve time each cycle, not by a full dt knot. With ~0.1-1 ms
+    solves and dt=10 ms knots that means tens of solver calls per knot —
+    the regime where the reference's max_sqp_iters=1 heatmap configuration
+    tracks at cm level. The fixed one-knot-per-cycle mode (realtime=False)
+    under-iterates the solver ~dt/t_solve-fold relative to what the
+    reference's own benchmark loop ever executed; its N=128 errors are a
+    harder workload, not a solver-quality gap (BASELINE.md note)."""
     import jax
     import jax.numpy as jnp
 
@@ -50,9 +63,27 @@ def run_cell(N, B, cycles, seed=0, sqp_iters=None):
                            q_lim_cost=p["q_lim_cost"])
     hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"], pcg_tol=p["pcg_tol"])
 
-    traj = figure8(dt, cycles=4).reshape(-1, 6).astype(np.float32)
-    n_steps = min(cycles, traj.shape[0] - N - 2)
-    refs = np.stack([traj[k:k + N] for k in range(n_steps)])
+    t_solve = None
+    if realtime:
+        import bench
+        t_solve = bench.bench_solve(N, B, solver="pcg")
+        # solves per knot, like the reference's sim-by-solve-time loop
+        # (granularity: whole sub-knot fractions; capped at 100/knot)
+        m = int(max(1, min(100, round(dt / t_solve))))
+        control_dt = dt / m
+    else:
+        m, control_dt = 1, dt
+
+    # fine-resolution reference: window k starts at sample k (control_dt
+    # apart); its N knots stride m samples (dt apart)
+    n_steps = cycles * m
+    need = n_steps + N * m + 2
+    period_samples = int(6 / control_dt)
+    reps = need // period_samples + 2
+    traj = figure8(control_dt, cycles=reps).reshape(-1, 6).astype(np.float32)
+    n_steps = min(n_steps, traj.shape[0] - N * m - 2)
+    idx = np.arange(n_steps)[:, None] + np.arange(N)[None, :] * m
+    refs = traj[idx]
 
     q0 = INDY7_START_CONFIGS["ready"]
     x0 = np.concatenate([q0, np.zeros(6)]).astype(np.float32)
@@ -63,17 +94,22 @@ def run_cell(N, B, cycles, seed=0, sqp_iters=None):
 
     xs, ees, us = closed_loop_rollout(
         model, model, settings, cp, hp, jnp.asarray(x0), jnp.asarray(refs),
-        jnp.asarray(f_ext), jnp.float32(dt), control_dt=dt, sim_substeps=4)
+        jnp.asarray(f_ext), jnp.float32(dt), control_dt=control_dt,
+        sim_substeps=max(1, 4 // m) if realtime else 4)
     ees = np.asarray(ees)
     goals = refs[:, 1, :3]  # knot-1 goal of the window each cycle tracked
     errs = np.linalg.norm(ees - goals, axis=1)
     tail = errs[n_steps // 4:]
-    return {
+    out = {
         "cycles": int(n_steps),
         "avg_err_m": round(float(tail.mean()), 5),
         "max_err_m": round(float(tail.max()), 5),
         "avg_err_all_m": round(float(errs.mean()), 5),
     }
+    if realtime:
+        out["t_solve_ms"] = round(t_solve * 1e3, 4)
+        out["solves_per_knot"] = m
+    return out
 
 
 def main():
@@ -90,6 +126,10 @@ def main():
     ap.add_argument("--platform", default="",
                     help="force jax platform (e.g. cpu) — the tracking-error "
                          "artifact is backend-independent to float roundoff")
+    ap.add_argument("--realtime", action="store_true",
+                    help="reference-faithful real-time emulation: the sim "
+                         "advances by the measured device solve time per "
+                         "cycle (cells get an _rt suffix); run on TPU")
     args = ap.parse_args()
 
     if args.platform:
@@ -117,9 +157,10 @@ def main():
                                    "drives; error vs knot-1 goal, steady "
                                    "state = last 3/4 of run")
     for N, B in cells:
-        key = f"N{N}_B{B}" + (f"_sqp{args.sqp_iters}" if args.sqp_iters
-                              else "")
-        r = run_cell(N, B, args.cycles, sqp_iters=args.sqp_iters)
+        key = (f"N{N}_B{B}" + (f"_sqp{args.sqp_iters}" if args.sqp_iters
+                               else "") + ("_rt" if args.realtime else ""))
+        r = run_cell(N, B, args.cycles, sqp_iters=args.sqp_iters,
+                     realtime=args.realtime)
         results[key] = r
         print(f"{key}: avg {r['avg_err_m']*100:.2f} cm  "
               f"max {r['max_err_m']*100:.2f} cm  ({r['cycles']} cycles)")
