@@ -37,10 +37,17 @@ REFERENCE_MS = {
 
 
 def pick_solver(N, B, requested="auto"):
-    """Static per-shape choice between the direct block-tridiagonal solve and
-    PCG (measured on v5e: btd wins at N>=16 with large B, pcg elsewhere)."""
+    """Static per-shape linear-solver choice. On TPU at N<=128 the
+    whole-solve megakernel (solve_kernel="auto", pcg-only) beats both the
+    staged path and the direct BTD solve at every measured (N,B) cell
+    (tools/tune_gates.py, round 3) — so pcg everywhere there. Off-TPU or at
+    unsupported horizons: btd at large batch, staged pcg at small
+    (the round-1/2 staged-path crossover)."""
     if requested != "auto":
         return requested
+    import jax
+    if jax.default_backend() == "tpu" and N <= 128:
+        return "pcg"
     return "btd" if B >= 32 else "pcg"
 
 
@@ -240,6 +247,25 @@ def main():
                 }
                 print(f"N={N:3d} B={B:3d}: {t*1e3:8.3f} ms"
                       + (f"  (ref {ref} ms, x{ref/(t*1e3):.2f})" if ref else ""))
+        # staged-path columns at large batch, kernels off: the
+        # reference-parity PCG pipeline (the reference's only solver,
+        # gato/bsqp/kernels/pcg.cuh) and the direct BTD solve — recorded so
+        # the staged pcg-vs-btd crossover and the megakernel's margin over
+        # both are documented from data (VERDICT r2 item 7)
+        if args.solver == "auto":
+            for N, B in ((32, 128), (32, 512)):
+                for tag, overrides in (
+                        ("pcg", dict(solver="pcg", iter_kernel="off",
+                                     solve_kernel="off")),
+                        ("btd", dict(solver="btd"))):
+                    t = bench_solve(N, B, plant=args.plant,
+                                    timing=args.timing, **overrides)
+                    ref = REFERENCE_MS.get((N, B))
+                    rows[f"N{N}_B{B}_{tag}"] = {
+                        "ms": round(t * 1e3, 3),
+                        "vs_ref": round(ref / (t * 1e3), 3) if ref else None,
+                    }
+                    print(f"N={N:3d} B={B:3d} ({tag}): {t*1e3:8.3f} ms")
         print(json.dumps({"metric": "bsqp_grid", "value": rows,
                           "unit": "ms", "vs_baseline": None}))
         return

@@ -53,14 +53,53 @@ def shard_solve_args(mesh: Mesh, X, U, lam, x_s, ref, f_ext, hp: HyperParams):
     return (put(X), put(U), put(lam), put(x_s), put(ref), put(f_ext), hp_s)
 
 
-@partial(jax.jit, static_argnames=("settings",))
+@partial(jax.jit, static_argnames=("mesh", "settings"))
+def _solve_batched_shard_map(mesh: Mesh, model: RobotModel,
+                             settings: BSQPSettings, cp: CostParams,
+                             hp: HyperParams, X, U, lam, x_s, ref, f_ext, dt):
+    """shard_map over the batch axis: each chip runs the FULL single-chip
+    solve — including the whole-solve/fused-iteration Pallas kernels, which
+    GSPMD cannot auto-partition — on its local lanes, and the only
+    cross-chip collective is the scalar psum of the solve_ratio convergence
+    count (solve_batched's axis_name), so the early-exit decision is global
+    exactly like the single-chip program."""
+    from gato_tpu.solver.types import SQPStats
+
+    Pb = P(BATCH_AXIS)
+    stats_specs = SQPStats(
+        sqp_iters=Pb, kkt_converged=Pb, pcg_iters=P(None, BATCH_AXIS),
+        ls_min_merit=P(None, BATCH_AXIS), ls_step_size=P(None, BATCH_AXIS),
+        initial_merit=Pb, final_merit=Pb, num_iters_run=P())
+    f = jax.shard_map(
+        lambda model, cp, hp, X, U, lam, x_s, ref, f_ext, dt: solve_batched(
+            model, settings, cp, hp, X, U, lam, x_s, ref, f_ext, dt,
+            axis_name=BATCH_AXIS),
+        mesh=mesh,
+        in_specs=(P(), P(), Pb, Pb, Pb, Pb, Pb, Pb, Pb, P()),
+        out_specs=(Pb, Pb, Pb, Pb, stats_specs),
+        # the static varying-axes checker rejects the solver's inner
+        # while_loops (constant-initialized per-lane carries become varying);
+        # correctness is asserted dynamically by the sharded-vs-unsharded
+        # equality tests (tests/test_sharding.py)
+        check_vma=False,
+    )
+    return f(model, cp, hp, X, U, lam, x_s, ref, f_ext, dt)
+
+
 def solve_batched_sharded(model: RobotModel, settings: BSQPSettings,
                           cp: CostParams, hp: HyperParams,
                           X, U, lam, x_s, ref, f_ext, dt):
-    """The batched solve under SPMD: identical program to the single-chip
-    path — XLA partitions it over whatever mesh the inputs are sharded on and
-    inserts the AllReduce for the solve_ratio early-exit count."""
-    return solve_batched(model, settings, cp, hp, X, U, lam, x_s, ref, f_ext, dt)
+    """The batched solve under SPMD. Inputs placed by shard_solve_args carry
+    a NamedSharding whose mesh drives an explicit shard_map (required so the
+    Pallas megakernel runs per-chip on local lanes); unsharded inputs fall
+    back to the plain single-chip jit."""
+    sh = getattr(X, "sharding", None)
+    if isinstance(sh, NamedSharding) and BATCH_AXIS in sh.mesh.axis_names:
+        return _solve_batched_shard_map(sh.mesh, model, settings, cp, hp,
+                                        X, U, lam, x_s, ref, f_ext, dt)
+    from ..solver.bsqp import solve_batched_jit
+    return solve_batched_jit(model, settings, cp, hp, X, U, lam, x_s, ref,
+                             f_ext, dt)
 
 
 def best_lane(stats_final_merit):

@@ -51,6 +51,9 @@ def solve_batched(
     ref,  # (B, N, 6) EE reference trajectory
     f_ext,  # (B, 6) per-lane external wrench hypotheses
     dt,  # scalar timestep
+    axis_name=None,  # set inside shard_map: batch-mesh axis to psum the
+    # solve_ratio convergence count over, preserving the reference's
+    # whole-batch early-exit semantics (bsqp.cuh:141-163) across chips
 ):
     """Run the batched SQP solve. Returns (X, U, lam, hp_out, stats)."""
     B = X.shape[0]
@@ -58,13 +61,18 @@ def solve_batched(
 
     # Whole-solve megakernel: SQP loop + merit + line search in ONE Pallas
     # launch (ops/pallas_solve.py). "fused" forces it on any backend
-    # (interpret mode in CI); "auto" gates to one-grid-step batches on TPU
-    # (beyond one chunk the solve_ratio exit is per chunk, not global).
-    from ..ops.pallas_iter import iter_capacity
+    # (interpret mode in CI); "auto" engages it on TPU for every horizon the
+    # kernel supports (N <= 128) at ANY batch — beyond one grid step the
+    # kernel grids over chunks of iter_capacity(N) problems, and v5e A/B
+    # (tools/tune_gates.py big, round 3) shows it beating both the staged
+    # path and the direct BTD solve at every measured chunk count (1-16
+    # chunks, e.g. N=32 B=512: 1.06 ms fused vs 2.57 ms btd). Semantics
+    # note: with multiple chunks the solve_ratio early exit is evaluated
+    # per chunk rather than globally — a finer-grained version of
+    # bsqp.cuh:141-163's whole-batch exit (identical at max_sqp_iters=1).
     use_solve_kernel = settings.linear_solver == "pcg" and (
         settings.solve_kernel == "fused"
         or (settings.solve_kernel == "auto"
-            and B <= iter_capacity(settings.N)
             and settings.N <= 128 and jax.default_backend() == "tpu")
     )
     if use_solve_kernel:
@@ -85,7 +93,9 @@ def solve_batched(
             ls_step_size=ls_step,
             initial_merit=merit0,
             final_merit=merit_f,
-            num_iters_run=jnp.max(iters_run).astype(jnp.int32),
+            num_iters_run=(jax.lax.pmax(jnp.max(iters_run), axis_name)
+                           if axis_name is not None
+                           else jnp.max(iters_run)).astype(jnp.int32),
         )
         return Xo, Uo, lam_o, hp_out, stats
 
@@ -241,7 +251,14 @@ def solve_batched(
         prev_converged = converged
         converged = jnp.logical_or(converged, pcg_iters == 0)
         num_solved = jnp.sum(converged.astype(jnp.int32))
-        exit_now = num_solved >= B * settings.solve_ratio
+        total_B = B
+        if axis_name is not None:
+            # the one cross-chip collective in the whole solve: a scalar
+            # AllReduce over ICI so every chip takes the exit decision on
+            # the GLOBAL converged count, exactly like the single-chip path
+            num_solved = jax.lax.psum(num_solved, axis_name)
+            total_B = B * jax.lax.psum(1, axis_name)
+        exit_now = num_solved >= total_B * settings.solve_ratio
         sqp_iters = state["sqp_iters"] + (~prev_converged).astype(jnp.int32)
 
         stats = state["stats"]

@@ -27,8 +27,11 @@ class BSQPSettings:
     integrator_type: int = 2  # trapezoidal default, integrator.cuh:20
     adapt_rho: bool = True
     linear_solver: str = "pcg"  # "pcg": the reference's preconditioned CG
-    # (pcg.cuh), fastest at large batch; "btd": direct block-tridiagonal
-    # factorization (exact duals, fastest at small batch)
+    # (pcg.cuh), and the only choice the whole-solve/fused-iteration Pallas
+    # kernels support — fastest at small batch where those engage; "btd":
+    # direct block-tridiagonal factorization (exact duals), fastest at
+    # large batch on the staged XLA path (measured crossover: bench.py
+    # pick_solver, v5e BENCH_GRID.json)
     kkt_kernel: str = "auto"  # "pallas": fused VMEM KKT kernel; "array":
     # vmapped XLA path; "auto": pallas for small batches (B < 32) on TPU
     kkt_tol: float = 1e-4  # accepted for parity; the reference's explicit
@@ -43,11 +46,14 @@ class BSQPSettings:
     # iteration core in ONE VMEM kernel (ops/pallas_iter.py — the TPU
     # analogue of the reference's persistent-kernel solve); "off": staged
     # kernels; "auto": fused on TPU at small batch with the pcg solver
-    solve_kernel: str = "off"  # "fused": the ENTIRE solve — SQP loop, merit
+    solve_kernel: str = "auto"  # "fused": the ENTIRE solve — SQP loop, merit
     # sweep, line search, rho schedule — in ONE Pallas kernel launch
     # (ops/pallas_solve.py); "off": per-stage/per-iteration kernels; "auto":
-    # fused on TPU when the batch fits one kernel grid step. Default "off"
-    # until TPU-validated (flip after benchmarking).
+    # fused on TPU when the batch fits one kernel grid step. Default flipped
+    # to "auto" from v5e measurements (tools/tune_gates.py, round 3): the
+    # megakernel wins EVERY within-capacity cell, e.g. N=8 B=1 37us vs 216us
+    # staged, N=32 B=1 50us vs 149us, N=128 B=8 84us vs 476us — with on-chip
+    # real-body parity recorded in TPU_KERNEL_PARITY.json.
 
 
 @jax.tree_util.register_dataclass

@@ -151,7 +151,14 @@ def main():
 
     import jax
     results.setdefault("meta", {})
-    results["meta"]["backend"] = jax.default_backend()
+    # backend is recorded PER CELL (cells accumulate across runs on
+    # different backends); meta.backend was a single global field in the
+    # round-2 artifact — migrate it onto any unlabeled cells, then drop it
+    old_backend = results["meta"].pop("backend", None)
+    if old_backend:
+        for k, v in results.items():
+            if k != "meta" and isinstance(v, dict):
+                v.setdefault("backend", old_backend)
     results["meta"]["workload"] = ("indy7 fig-8 closed loop, DEFAULT params, "
                                    "dt=0.01, control_dt=dt, zero-wrench lane "
                                    "drives; error vs knot-1 goal, steady "
@@ -161,6 +168,7 @@ def main():
                                else "") + ("_rt" if args.realtime else ""))
         r = run_cell(N, B, args.cycles, sqp_iters=args.sqp_iters,
                      realtime=args.realtime)
+        r["backend"] = jax.default_backend()
         results[key] = r
         print(f"{key}: avg {r['avg_err_m']*100:.2f} cm  "
               f"max {r['max_err_m']*100:.2f} cm  ({r['cycles']} cycles)")

@@ -17,7 +17,7 @@ import sys
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["iter", "solve", "all"])
+    ap.add_argument("which", choices=["iter", "solve", "big", "all"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--cells", default=None,
                     help="comma list like 8:1,8:32,16:32 overriding defaults")
@@ -28,8 +28,8 @@ def main():
 
     results = {}
 
-    def run(N, B, tag, **overrides):
-        t = bench_solve(N, B, solver="pcg", **overrides)
+    def run(N, B, tag, solver="pcg", **overrides):
+        t = bench_solve(N, B, solver=solver, **overrides)
         key = f"N{N}_B{B}_{tag}"
         results[key] = round(t * 1e6, 1)
         print(f"{key}: {t*1e6:9.1f} us", flush=True)
@@ -53,6 +53,20 @@ def main():
             if B > iter_capacity(N):
                 continue
             run(N, B, "solve_off", iter_kernel="off", solve_kernel="off")
+            run(N, B, "solve_fused", solve_kernel="fused")
+
+    if args.which == "big":
+        # Beyond one kernel grid step: the megakernel grids over chunks of
+        # iter_capacity(N) problems (sequential grid, per-chunk solve_ratio
+        # exit — identical semantics at the heatmap's max_sqp_iters=1). The
+        # real large-B contest is megakernel-vs-btd (bench.pick_solver routes
+        # B>=32 to the direct block-tridiagonal solve today).
+        big_cells = ([tuple(map(int, c.split(":"))) for c in args.cells.split(",")]
+                     if args.cells else
+                     [(8, 512), (8, 1024), (16, 128), (16, 512), (32, 128),
+                      (32, 512), (64, 32), (64, 128), (128, 32), (128, 128)])
+        for N, B in big_cells:
+            run(N, B, "btd", solver="btd")
             run(N, B, "solve_fused", solve_kernel="fused")
 
     out = args.out or f"/tmp/tune_{args.which}.json"
