@@ -268,6 +268,9 @@ class MPC_GATO:
             return 0
         x_next = self.solver.sim_forward(x_last, u_last, dt)
         errors = np.linalg.norm(x_next - np.asarray(x_curr)[None, :], axis=1)
+        # a dead lane (diverged solve) predicts NaN; np.argmin would SELECT
+        # the NaN lane — mask non-finite errors out of the competition
+        errors = np.where(np.isfinite(errors), errors, np.inf)
         best = int(np.argmin(errors))
         if self.estimator_mode == "observer":
             self._w_obs = np.asarray(self._obs_step(

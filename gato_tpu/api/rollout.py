@@ -101,8 +101,10 @@ def closed_loop_rollout(
                                     f_ext=fe,
                                     integrator_type=settings.integrator_type)
             )(f_ext)
-            best = jnp.argmin(
-                jnp.linalg.norm(pred - x_cur[None, :], axis=1))
+            errs = jnp.linalg.norm(pred - x_cur[None, :], axis=1)
+            # mask non-finite prediction errors (dead lanes) out of the
+            # argmin — NaN would win it under numpy semantics
+            best = jnp.argmin(jnp.where(jnp.isfinite(errs), errs, jnp.inf))
         else:
             best = 0
         u0 = Uo[best, 0]
@@ -218,6 +220,7 @@ def closed_loop_rollout_estimator(
 
         pred = jax.vmap(pred_one)(batch_last)
         errs = jnp.linalg.norm(pred - x_sim[None, :], axis=1)
+        errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
         best = jnp.argmin(errs)
         key, sub = jax.random.split(key)
         if estimator == "observer":

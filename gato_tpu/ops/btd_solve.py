@@ -76,7 +76,13 @@ def btd_solve_batched(S_main, S_lower, gamma, lam_prev, skip):
 
     r0 = gamma - jax.vmap(btd_matvec)(S_main, S_lower, lam_prev)
     rho0 = jnp.sum(r0 * r0, axis=(-2, -1))
-    active = jnp.logical_and(~skip, jnp.abs(rho0) >= PCG_ABS_TOL)
+    # a non-finite warm-start residual (NaN/inf duals from a diverged earlier
+    # solve) must not read as "already satisfied" (NaN >= tol is False): the
+    # direct factorization never touches lam_prev, so just solve — the lane's
+    # duals are replaced with the exact solution and the lane recovers.
+    active = jnp.logical_and(
+        ~skip,
+        jnp.logical_or(~jnp.isfinite(rho0), jnp.abs(rho0) >= PCG_ABS_TOL))
 
     lam_new = jax.vmap(btd_solve)(S_main, S_lower, gamma)
     lam = jnp.where(active[:, None, None], lam_new, lam_prev)

@@ -28,6 +28,10 @@ def line_search_update(
     rho, drho,
     adapt_rho: bool,
 ):
+    # non-finite candidate merits (diverged PCG -> NaN dz -> NaN merit) are
+    # masked to +inf so they can never win the argmin over a finite
+    # alternative, and never count as an improvement
+    merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
     j = jnp.argmin(merits)
     min_merit = merits[j]
     success = min_merit < merit_baseline
@@ -44,8 +48,11 @@ def line_search_update(
     rho = jnp.where(jnp.logical_and(~success, rho > RHO_MAX), RHO_INIT, rho)
 
     step = jnp.where(success, alphas[j], -1.0)
-    a = jnp.where(success, alphas[j], 0.0)
-    X_new = X + a * dZX
-    U_new = U + a * dZU
+    # where-select, NOT X + 0*dZ: the reference leaves the trajectory
+    # genuinely untouched on failure (line_search.cuh:90-97), and a NaN step
+    # from a diverged PCG would survive a multiply-by-zero (0 * NaN = NaN)
+    # and contaminate the rejected trajectory.
+    X_new = jnp.where(success, X + alphas[j] * dZX, X)
+    U_new = jnp.where(success, U + alphas[j] * dZU, U)
     merit_new = jnp.where(success, min_merit, merit_baseline)
     return X_new, U_new, merit_new, step, rho, drho

@@ -95,11 +95,20 @@ def _dot(a, b, valid, seg=None):
     produces ("Invalid relayout: non-singleton logical dimension is
     replicated in destination but not in source" at seg == L, caught on
     hardware by tools/tpu_verify_kernels.py at N=128). The 0/1 matmul at
-    Precision.HIGHEST is exact in f32 and keeps every carry concrete."""
+    Precision.HIGHEST is exact in f32 and keeps every carry concrete.
+
+    NaN containment: the contraction computes NaN * 0 = NaN, so one diverged
+    problem's non-finite lanes would smear NaN into EVERY problem sharing
+    its sublane row. Non-finite per-lane products are clamped to a huge
+    finite sentinel first: the diverged problem's rho stays enormous (never
+    reads as converged), its row-mates stay exact."""
     acc = None
     for r in range(len(a)):
         m = a[r] * b[r]
         acc = m if acc is None else acc + m
+    # scrub BEFORE the valid mask: NaN * 0 = NaN would turn invalid-lane
+    # junk into the sentinel instead of 0
+    acc = jnp.where(jnp.abs(acc) <= 1e30, acc, 1e30)
     acc = acc * valid
     L = acc.shape[1]
     s = seg if seg is not None else L
@@ -126,9 +135,18 @@ def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,
     p = list(z)
     rho = _dot(r, z, valid, seg)
     rho_init = jnp.abs(rho)
+    # a problem whose warm-started duals hold NaN/inf (a diverged previous
+    # solve) shows up as a sentinel-clamped huge rho (_dot's NaN
+    # containment). Don't iterate on it — the Krylov updates would just
+    # churn NaN — but report max_iters so the SQP driver reads the lane as
+    # NOT converged (the reference's |rho|<tol exit is False for its NaN rho
+    # and burns all max_iters the same way, pcg.cuh:85-92). 1e29 is far
+    # above any legitimate initial residual and far below the 1e30 sentinel.
+    dead0 = (skip < 0.5) & (jnp.abs(rho) >= 1e29)
     # active/converged masks stay f32 0/1: boolean vectors cannot cross the
     # scf.while carry boundary in Mosaic
-    active = ((skip < 0.5) & (jnp.abs(rho) >= PCG_ABS_TOL)).astype(rho.dtype)
+    active = ((skip < 0.5) & ~dead0
+              & (jnp.abs(rho) >= PCG_ABS_TOL)).astype(rho.dtype)
     iters = jnp.zeros_like(rho)
 
     def cond(state):
@@ -160,6 +178,7 @@ def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,
 
     lam, _, _, _, _, iters, _ = jax.lax.while_loop(
         cond, body, (lam, r, p, rho, active, iters, jnp.int32(0)))
+    iters = jnp.where(dead0, float(max_iters), iters)
     return lam, iters
 
 

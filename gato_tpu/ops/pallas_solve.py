@@ -52,7 +52,14 @@ def _segsum(x, seg):
     """Per-segment sum over lanes, broadcast back: (S, L) -> (S, L).
 
     One f32 matmul with the block-diagonal ones matrix (Precision.HIGHEST —
-    the TPU bf16 dot_general default would corrupt merit comparisons)."""
+    the TPU bf16 dot_general default would corrupt merit comparisons).
+
+    NaN containment: NaN * 0 = NaN in the contraction would smear one
+    problem's non-finite values (a diverged step's merit) across every
+    problem sharing the sublane row; clamp per-lane values to a huge finite
+    sentinel first, so the diverged problem's sum stays enormous (never wins
+    a line search) and its row-mates stay exact."""
+    x = jnp.where(jnp.abs(x) <= 1e30, x, 1e30)
     L = x.shape[1]
     if seg == L:
         s = jnp.sum(x, axis=1, keepdims=True)
@@ -169,10 +176,16 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
     pv_a = tile_a(pvalid)
 
     def merit_sweep(X, U, dzx, dzu):
-        """(A+1)*S-sublane merit: block a holds merit(X + alphas[a] dz)."""
-        Xc = [jnp.concatenate([X[i] + a * dzx[i] for a in alphas], axis=0)
+        """(A+1)*S-sublane merit: block a holds merit(X + alphas[a] dz).
+
+        Block 0 (alpha = 0) is built from X directly, NOT X + 0*dz: it seeds
+        the baseline merit, and 0 * NaN = NaN from a diverged step would
+        turn the baseline (and so initial/final merit) non-finite."""
+        Xc = [jnp.concatenate([X[i]] + [X[i] + a * dzx[i]
+                                        for a in alphas[1:]], axis=0)
               for i in range(nx)]
-        Uc = [jnp.concatenate([U[i] + a * dzu[i] for a in alphas], axis=0)
+        Uc = [jnp.concatenate([U[i]] + [U[i] + a * dzu[i]
+                                        for a in alphas[1:]], axis=0)
               for i in range(nu)]
         m = merit_channels(cd, key, cp, N, dt, integrator_type, Xc, Uc,
                            xs_a, r3_a, fe_a, mu_a, lane_a, pv_a, seg,
@@ -209,6 +222,19 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
         pv = pvalid > 0.5
         dzx = [jnp.where(pv, d, 0.0) for d in dzx]
         dzu = [jnp.where(pv, d, 0.0) for d in dzu]
+        # REAL problems whose PCG diverged also hold NaN/inf steps: zero the
+        # whole problem's step (per-problem decision — the 0/1 badness lanes
+        # are finite, so the segment reduction cannot smear). All its alpha
+        # candidates then equal X, the strict-less test fails, and the
+        # trajectory stays untouched, matching the XLA path's step_ok scrub
+        # (solver/bsqp.py::after_solve).
+        badlane = None
+        for d in dzx + dzu:
+            badlane = d if badlane is None else badlane + d
+        badlane = 1.0 - (jnp.abs(badlane) < jnp.inf).astype(like.dtype)
+        step_ok = _segsum(jnp.where(pv, badlane, 0.0), seg) < 0.5
+        dzx = [jnp.where(step_ok, d, 0.0) for d in dzx]
+        dzu = [jnp.where(step_ok, d, 0.0) for d in dzu]
 
         # per-problem iteration count: +1 while not yet converged, including
         # the converging iteration (solver/bsqp.py per-lane sqp_iters note)
@@ -249,14 +275,18 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
         rho_n = jnp.where(jnp.logical_and(~success, rho_n > RHO_MAX),
                           RHO_INIT, rho_n)
 
-        a_ch = jnp.where(success, besta, 0.0)
         m_n = jnp.where(success, best, mbase)
         step = jnp.where(success, besta, -1.0)
 
         ex = exit_now  # scalar: discard the line search on early exit
-        Xo = tuple(jnp.where(ex, X[i], X[i] + a_ch * dzx[i])
+        # where-select, NOT X + 0*dz, on BOTH the early-exit scalar and the
+        # per-problem success mask: a rejected step must leave the
+        # trajectory untouched (line_search.cuh:90-97) even when dz is
+        # non-finite (0 * NaN = NaN would contaminate it)
+        take = jnp.logical_and(success, jnp.logical_not(ex))
+        Xo = tuple(jnp.where(take, X[i] + besta * dzx[i], X[i])
                    for i in range(nx))
-        Uo = tuple(jnp.where(ex, U[i], U[i] + a_ch * dzu[i])
+        Uo = tuple(jnp.where(take, U[i] + besta * dzu[i], U[i])
                    for i in range(nu))
         return dict(
             X=Xo, U=Uo, lam=tuple(lam),

@@ -14,7 +14,14 @@ Semantics matched to pcg.cuh:13-148:
   - lanes whose solve already converged in an earlier SQP iteration skip the
     solve entirely and report 0 iterations (pcg.cuh:29-32),
   - the iteration counter increments before the convergence check, and the
-    x/r updates of the converging iteration are applied.
+    x/r updates of the converging iteration are applied,
+  - a NON-FINITE initial residual (a diverged previous solve left NaN/inf in
+    the warm-started duals) reports max_iters: the reference's exit test
+    |rho_new| < tol is False for NaN so its loop burns all max_iters and the
+    lane reads as unconverged (pcg.cuh:85-92); we skip the useless iterations
+    but report the same "did not converge" count. Without this guard the NaN
+    rho would fail the >= tol activity test, report 0 iterations, and the
+    SQP driver would read the dead lane as CONVERGED.
 """
 
 from __future__ import annotations
@@ -50,7 +57,9 @@ def pcg_solve_batched(
     p = z
     rho = dot(r, z)  # (B,)
     rho_init = jnp.abs(rho)
-    active = jnp.logical_and(~skip, jnp.abs(rho) >= PCG_ABS_TOL)
+    finite0 = jnp.isfinite(rho)
+    active = jnp.logical_and(jnp.logical_and(~skip, finite0),
+                             jnp.abs(rho) >= PCG_ABS_TOL)
     iters = jnp.zeros(gamma.shape[0], dtype=jnp.int32)
 
     def cond(state):
@@ -82,4 +91,7 @@ def pcg_solve_batched(
     lam, _, _, _, _, iters, _ = jax.lax.while_loop(
         cond, body, (lam0, r, p, rho, active, iters, jnp.int32(0))
     )
+    # dead lanes (non-finite entry residual) did not converge: report the
+    # count the reference's loop would produce (see module docstring)
+    iters = jnp.where(jnp.logical_and(~skip, ~finite0), max_iters, iters)
     return lam, iters

@@ -104,5 +104,8 @@ def solve_batched_sharded(model: RobotModel, settings: BSQPSettings,
 
 def best_lane(stats_final_merit):
     """Global argmin over the (possibly sharded) per-lane final merits; under
-    SPMD this lowers to an all-gather + argmin."""
-    return jnp.argmin(stats_final_merit)
+    SPMD this lowers to an all-gather + argmin. Non-finite merits (a dead
+    lane whose solve diverged) are masked to +inf — numpy/XLA argmin would
+    otherwise SELECT the NaN lane."""
+    m = stats_final_merit
+    return jnp.argmin(jnp.where(jnp.isfinite(m), m, jnp.inf))

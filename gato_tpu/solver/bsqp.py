@@ -241,6 +241,17 @@ def solve_batched(
                     dZX, dZU, pcg_iters):
         """Convergence bookkeeping + merit sweep + line search — the shared
         tail of one SQP iteration (bsqp.cuh:160-177)."""
+        # A diverged PCG leaves NaN/inf in the step; zero those lanes' steps
+        # so every alpha candidate (including the fold_merit0 alpha=0 column,
+        # which computes X + 0*dZ) stays finite. With dZ = 0 all candidates
+        # equal X, the strict-less test fails, and the line search reports
+        # failure with the trajectory untouched — the reference's behavior
+        # for a lane whose Krylov solve blew up (its merits go NaN, NaN <
+        # merit is false, line_search.cuh:59).
+        step_ok = jnp.isfinite(
+            jnp.sum(dZX, axis=(1, 2)) + jnp.sum(dZU, axis=(1, 2)))
+        dZX = jnp.where(step_ok[:, None, None], dZX, 0.0)
+        dZU = jnp.where(step_ok[:, None, None], dZU, 0.0)
         # Per-lane iteration count: +1 while the lane is not yet converged,
         # including the converging iteration. The reference's per-lane
         # counter (bsqp.cuh:141-163, h_sqp_iters_B_) degenerates to the

@@ -147,6 +147,46 @@ def test_solve_channels_matches_xla_solver(setup64, max_sqp_iters):
     np.testing.assert_array_equal(lss_c, np.asarray(stats.ls_step_size))
 
 
+def test_solve_channels_nan_warmstart(setup64):
+    """A problem entering the megakernel with NaN duals (diverged earlier
+    solve) must come out with a finite, UNTOUCHED trajectory, a finite
+    merit, kkt_converged=0 — and must match the XLA solver path, which
+    handles the same case via pcg's dead-lane guard + the step_ok scrub."""
+    model, cp, X, U, x_s, ref, fe, lam = setup64
+    nx, nu = 12, 6
+    lam = lam.at[0].set(jnp.nan)
+    hp = HyperParams.create(B, rho=0.01, mu=10.0, pcg_tol=1e-12,
+                            dtype=jnp.float64)
+    st = BSQPSettings(N=N, max_sqp_iters=2, max_pcg_iters=500)
+    Xo, Uo, lam_o, hpo, stats = solve_batched_jit(
+        model, st, cp, hp, X, U, lam, x_s, ref, fe, jnp.float64(0.01))
+
+    outs = _run_solve_channels(model, cp, X, U, x_s, ref, fe, lam, hp,
+                               2, 500)
+    Xc = np.stack([np.asarray(c) for c in outs[:nx]], -1)[:B, :N]
+    k = 2 * nx + nu
+    conv_c = np.asarray(outs[k + 2])[:B, 0]
+    merit_f_c = np.asarray(outs[k + 4])[:B, 0]
+    pcg0_c = np.asarray(outs[k + 6])[:B, 0]
+
+    # dead problem: finite untouched trajectory, finite merit, unconverged,
+    # PCG reported the burned max count (the reference's pcg.cuh:85-92
+    # behavior for a NaN exit test), on BOTH paths
+    assert np.isfinite(Xc).all() and np.isfinite(merit_f_c).all()
+    assert np.isfinite(np.asarray(Xo)).all()
+    assert np.isfinite(np.asarray(stats.final_merit)).all()
+    np.testing.assert_array_equal(Xc[0], np.asarray(X)[0])
+    np.testing.assert_array_equal(np.asarray(Xo)[0], np.asarray(X)[0])
+    assert conv_c[0] == 0 and np.asarray(stats.kkt_converged)[0] == 0
+    assert pcg0_c[0] == 500 and np.asarray(stats.pcg_iters)[0, 0] == 500
+
+    # healthy problems are bit-compatible with the XLA solver as usual
+    np.testing.assert_allclose(Xc[1:], np.asarray(Xo)[1:],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(merit_f_c[1:],
+                               np.asarray(stats.final_merit)[1:], rtol=1e-8)
+
+
 def test_solve_channels_early_exit(setup64):
     """solve_ratio=0: the first iteration flags exit before the line search,
     so trajectories keep their warm start but duals update (the reference's

@@ -46,9 +46,13 @@ def test_sharded_solve_matches_single_device():
     X2, U2, lam2, hp2, st2 = solve_batched_sharded(
         model, st, cp, hps, Xs, Us, lams, x_ss, refs, fes, dt
     )
-    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), rtol=2e-5, atol=2e-5)
+    assert np.isfinite(np.asarray(X2)).all()
+    assert np.isfinite(np.asarray(st2.final_merit)).all()
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), rtol=2e-5,
+                               atol=2e-5, equal_nan=False)
     np.testing.assert_allclose(np.asarray(st1.final_merit),
-                               np.asarray(st2.final_merit), rtol=2e-5, atol=2e-5)
+                               np.asarray(st2.final_merit), rtol=2e-5,
+                               atol=2e-5, equal_nan=False)
     # output keeps the batch sharding
     shard_names = {d for s in X2.sharding.device_set for d in [s.id]}
     assert len(shard_names) == 8
@@ -90,13 +94,15 @@ def test_sharded_equals_unsharded_realistic_shape():
     X2, U2, lam2, hp2, st2 = solve_batched_sharded(
         model, st, cp, hps, Xs, Us, lams, x_ss, refs, fes, dt)
 
+    assert np.isfinite(np.asarray(X2)).all()
+    assert np.isfinite(np.asarray(st2.final_merit)).all()
     np.testing.assert_allclose(np.asarray(X1), np.asarray(X2),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-5, atol=2e-5, equal_nan=False)
     np.testing.assert_allclose(np.asarray(U1), np.asarray(U2),
-                               rtol=2e-4, atol=2e-3)
+                               rtol=2e-4, atol=2e-3, equal_nan=False)
     np.testing.assert_allclose(np.asarray(st1.final_merit),
                                np.asarray(st2.final_merit),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-5, atol=2e-5, equal_nan=False)
     np.testing.assert_array_equal(np.asarray(st1.sqp_iters),
                                   np.asarray(st2.sqp_iters))
     np.testing.assert_array_equal(np.asarray(st1.ls_step_size),
