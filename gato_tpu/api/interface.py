@@ -63,6 +63,10 @@ class BSQP:
         # registrations (python/bindings.cu:253-264). TPUs have no f64
         # arithmetic, so "double" requires the CPU backend (it exists for
         # oracle/debug runs, same as the reference's double instantiations).
+        # The caller must enable x64 themselves: jax_enable_x64 is a
+        # PROCESS-GLOBAL flag, and flipping it here would silently change
+        # dtype/weak-type semantics (and force recompiles) for every other
+        # JAX computation in the process, including f32 BSQP instances.
         if precision not in ("float", "double"):
             raise ValueError(f"precision must be 'float'|'double', got {precision!r}")
         if precision == "double":
@@ -72,7 +76,10 @@ class BSQP:
                     "f64); jax.config.update('jax_platforms', 'cpu') and "
                     "enable x64 first")
             if not jax.config.jax_enable_x64:
-                jax.config.update("jax_enable_x64", True)
+                raise RuntimeError(
+                    "precision='double' requires x64 to be enabled by the "
+                    "caller — jax.config.update('jax_enable_x64', True) "
+                    "(process-global; BSQP will not flip it for you)")
         self.precision = precision
         self._dtype = jnp.float64 if precision == "double" else jnp.float32
         self._np_dtype = np.float64 if precision == "double" else np.float32

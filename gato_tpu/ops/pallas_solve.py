@@ -19,10 +19,13 @@ line_search.cuh:12-98, solve_ratio early exit bsqp.cuh:133-165) follow the
 XLA path in solver/bsqp.py; parity is tested on plain arrays in
 tests/test_pallas_solve.py.
 
-NOTE: with more than one grid chunk the solve_ratio early exit is evaluated
-per chunk (each chunk is an independent program instance), while the XLA
-path evaluates it over the whole batch. The solver's "auto" gate only
-engages this kernel when the batch fits one chunk, where the two agree.
+Exit semantics: within one grid chunk (B <= solve_capacity(N), no mesh) the
+one-launch kernel's solve_ratio exit is exactly the reference's whole-batch
+exit. Beyond one chunk — or under shard_map, where the count must be psum'd
+across chips — the solver routes to sqp_solve_pallas_chained: one launch per
+SQP iteration with the convergence count reduced globally between launches
+(the TPU-native analogue of the reference's per-iteration D2H + host check,
+bsqp.cuh:133-165), so the exit decision is whole-batch at every scale.
 """
 
 from __future__ import annotations
@@ -133,7 +136,9 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
                    max_sqp_iters: int, max_pcg_iters: int, num_alphas: int,
                    integrator_type: int, adapt_rho: bool, solve_ratio: float,
                    dt, X, U, xs, r3, fe, lam, rho, drho, mu, eps,
-                   seg, pvalid, like, unroll: bool = False):
+                   seg, pvalid, like, unroll: bool = False,
+                   mbase0=None, merit00=None, conv0=None, sqp0=None,
+                   seeded: bool = False):
     """The full SQP solve on (S, L) channels (the body of the one-kernel
     solve; pure jnp, parity-tested on plain arrays).
 
@@ -144,6 +149,12 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
     sqp_iters (per-problem: the iteration at which the problem converged,
     or iterations run), pcg_it[max_sqp_iters], ls_merit[...], ls_step[...])
     channels.
+
+    Chained mode (the multi-chunk / multi-chip global-exit driver,
+    sqp_solve_pallas_chained): mbase0/merit00/conv0/sqp0 carry the SQP state
+    from the previous per-iteration launch, and `seeded` (static) marks that
+    mbase0/merit00 already hold the baseline merit — without it the first
+    internal iteration seeds them from the alpha=0 merit block.
     """
     nq = cd.nq
     nx, nu = 2 * nq, nq
@@ -196,7 +207,10 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
     zero = jnp.zeros_like(like)
     st0 = dict(
         X=tuple(X), U=tuple(U), lam=tuple(lam), rho=rho, drho=drho,
-        mbase=zero, merit0=zero, converged=zero, sqp=zero,
+        mbase=zero if mbase0 is None else mbase0,
+        merit0=zero if merit00 is None else merit00,
+        converged=zero if conv0 is None else conv0,
+        sqp=zero if sqp0 is None else sqp0,
         pcg=(zero,) * max_sqp_iters, lsm=(zero,) * max_sqp_iters,
         lss=(zero,) * max_sqp_iters,
         it=jnp.int32(0), exit=jnp.int32(0),
@@ -251,9 +265,13 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
         # without a Mosaic scf.if over the full state) ----
         ms = merit_sweep(X, U, dzx, dzu)
         # block 0 is merit(X, U): the warm-start baseline at iteration 0
-        # (computeMeritBatched<1>, bsqp.cuh:116)
-        mbase = jnp.where(it == 0, ms[0], s["mbase"])
-        merit0 = jnp.where(it == 0, ms[0], s["merit0"])
+        # (computeMeritBatched<1>, bsqp.cuh:116); in chained mode the carried
+        # baseline is already seeded by the first launch
+        if seeded:
+            mbase, merit0 = s["mbase"], s["merit0"]
+        else:
+            mbase = jnp.where(it == 0, ms[0], s["mbase"])
+            merit0 = jnp.where(it == 0, ms[0], s["merit0"])
         best = ms[1]
         besta = jnp.full_like(like, alphas[1])
         for j in range(2, A1):
@@ -327,7 +345,7 @@ def solve_channels(cd, key, cp: CostParams, N: int, B: int,
 
 def _solve_kernel(cd, key, nq, N, B, seg, max_sqp_iters, max_pcg_iters,
                   num_alphas, integrator_type, adapt_rho, solve_ratio,
-                  unroll, body_fn, chans_ref, w_ref, out_ref):
+                  unroll, seeded, body_fn, chans_ref, w_ref, out_ref):
     nx = 2 * nq
     nu = nq
     idx = 0
@@ -348,6 +366,12 @@ def _solve_kernel(cd, key, nq, N, B, seg, max_sqp_iters, max_pcg_iters,
     drho = take(1)[0]
     mu = take(1)[0]
     eps = take(1)[0]
+    # carried SQP state for chained per-iteration launches (zeros, and
+    # ignored via seeded=False, in one-launch mode)
+    mbase0 = take(1)[0]
+    merit00 = take(1)[0]
+    conv0 = take(1)[0]
+    sqp0 = take(1)[0]
 
     w = [w_ref[i, 0, 0] for i in range(8)]
     cp = CostParams(q_cost=w[0], qd_cost=w[1], u_cost=w[2], N_cost=w[3],
@@ -364,9 +388,72 @@ def _solve_kernel(cd, key, nq, N, B, seg, max_sqp_iters, max_pcg_iters,
     outs = body_fn(cd, key, cp, N, B, max_sqp_iters, max_pcg_iters,
                    num_alphas, integrator_type, adapt_rho, solve_ratio, dt,
                    X, U, xs, r3, fe, lam, rho, drho, mu, eps,
-                   seg, pvalid, X[0], unroll=unroll)
+                   seg, pvalid, X[0], unroll=unroll,
+                   mbase0=mbase0, merit00=merit00, conv0=conv0, sqp0=sqp0,
+                   seeded=seeded)
     for o, ch in enumerate(outs):
         out_ref[o] = ch
+
+
+def solve_capacity(N: int) -> int:
+    """Problems per kernel grid step (== ops/pallas_iter.py::iter_capacity):
+    8 sublanes x (128 // segment). At B <= this (and off-mesh), one launch
+    carries the reference's whole-batch exit semantics exactly."""
+    seg = next(s for s in (8, 16, 32, 64, 128) if s >= N)
+    return 8 * (_LANES // seg)
+
+
+def _layout(N: int, B: int):
+    seg = next(s for s in (8, 16, 32, 64, 128) if s >= N)
+    G = _LANES // seg
+    cap = 8 * G
+    nchunk = -(-B // cap)
+    return seg, G, cap, nchunk, nchunk * cap, nchunk * 8
+
+
+def _packers(B, seg, G, nchunk, Bp, SR):
+    def chan(a):  # (B, N', k) -> (k, SR, 128), ops/pallas_iter.py layout
+        k = a.shape[2]
+        a = jnp.pad(a, ((0, Bp - B), (0, seg - a.shape[1]), (0, 0)))
+        a = a.reshape(nchunk, 8, G, seg, k).transpose(4, 0, 1, 2, 3)
+        return a.reshape(k, SR, _LANES)
+
+    def bcast(a):  # (B, k) -> (k, SR, 128) constant over each segment
+        return chan(jnp.broadcast_to(a[:, None, :], (B, 1, a.shape[1])
+                                     ).repeat(seg, axis=1))
+
+    return chan, bcast
+
+
+def _launch(cd, key, nq, N, B, seg, nchunk, SR, max_sqp_iters, max_pcg_iters,
+            num_alphas, integrator_type, adapt_rho, solve_ratio, unroll,
+            seeded, body_fn, chans, w):
+    """One pallas_call of the solve kernel over the chunked grid."""
+    nx, nu = 2 * nq, nq
+    C_in = chans.shape[0]
+    C_out = nx + nu + nx + 6 + 3 * max_sqp_iters
+    kernel = functools.partial(
+        _solve_kernel, cd, key, nq, N, B, seg, max_sqp_iters,
+        max_pcg_iters, num_alphas, integrator_type, adapt_rho, solve_ratio,
+        unroll, seeded, body_fn or solve_channels)
+    return pl.pallas_call(
+        kernel,
+        grid=(nchunk,),
+        in_specs=[pl.BlockSpec((C_in, 8, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 1, 1), lambda i: (0, 0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((C_out, 8, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C_out, SR, _LANES), chans.dtype),
+        interpret=_interpret(),
+    )(chans, w)
+
+
+def _cost_w(cp: CostParams, dt, dtp):
+    return jnp.stack([cp.q_cost, cp.qd_cost, cp.u_cost, cp.N_cost,
+                      cp.q_lim_cost, cp.vel_lim_cost, cp.ctrl_lim_cost,
+                      jnp.asarray(dt, dtp)]).astype(dtp).reshape(8, 1, 1)
 
 
 def sqp_solve_pallas(model: RobotModel, cp: CostParams, X, U, lam, x_s, ref,
@@ -382,64 +469,41 @@ def sqp_solve_pallas(model: RobotModel, cp: CostParams, X, U, lam, x_s, ref,
     (X, U, lam, rho, drho, converged, merit0, merit_final, sqp_iters (B,)
     per-lane, pcg_iters (max_sqp_iters, B), ls_merit (..., B),
     ls_step (..., B)).
+
+    NOTE: with more than one grid chunk the solve_ratio early exit is
+    evaluated per chunk, not over the whole batch — the solver only routes
+    here when B fits one chunk (or forces "fused"); beyond that it uses
+    sqp_solve_pallas_chained, which reproduces the reference's whole-batch
+    exit (bsqp.cuh:141-165) with one launch per SQP iteration.
     """
     cd = _get_cd(model.key)
     nq = cd.nq
     nx, nu = 2 * nq, nq
     B = X.shape[0]
     dtp = X.dtype
-    seg = next(s for s in (8, 16, 32, 64, 128) if s >= N)
-    G = _LANES // seg
-    cap = 8 * G
-    nchunk = -(-B // cap)
-    Bp = nchunk * cap
-    SR = nchunk * 8
+    seg, G, cap, nchunk, Bp, SR = _layout(N, B)
+    chan, bcast = _packers(B, seg, G, nchunk, Bp, SR)
 
-    def chan(a):  # (B, N', k) -> (k, SR, 128), ops/pallas_iter.py layout
-        k = a.shape[2]
-        a = jnp.pad(a, ((0, Bp - B), (0, seg - a.shape[1]), (0, 0)))
-        a = a.reshape(nchunk, 8, G, seg, k).transpose(4, 0, 1, 2, 3)
-        return a.reshape(k, SR, _LANES)
-
-    def bcast(a):  # (B, k) -> (k, SR, 128) constant over each segment
-        return chan(jnp.broadcast_to(a[:, None, :], (B, 1, a.shape[1])
-                                     ).repeat(seg, axis=1))
-
+    zero4 = jnp.zeros((4, SR, _LANES), dtp)  # mbase/merit0/conv/sqp carries
     chans = jnp.concatenate([
         chan(X), chan(U), bcast(x_s), chan(ref[:, :, :3]), bcast(f_ext),
         chan(lam),
         bcast(rho.astype(dtp)[:, None]), bcast(drho.astype(dtp)[:, None]),
         bcast(mu.astype(dtp)[:, None]), bcast(pcg_tol.astype(dtp)[:, None]),
+        zero4,
     ], axis=0)
-    C_in = chans.shape[0]
 
-    w = jnp.stack([cp.q_cost, cp.qd_cost, cp.u_cost, cp.N_cost,
-                   cp.q_lim_cost, cp.vel_lim_cost, cp.ctrl_lim_cost,
-                   jnp.asarray(dt, dtp)]).astype(dtp).reshape(8, 1, 1)
-
-    C_out = nx + nu + nx + 6 + 3 * max_sqp_iters
+    w = _cost_w(cp, dt, dtp)
     if unroll is None:
         # straight-line code for short SQP schedules (no 70+-channel Mosaic
         # while carry); the while_loop for long ones (bounded program size)
         unroll = max_sqp_iters <= 4
-    kernel = functools.partial(
-        _solve_kernel, cd, model.key, nq, N, B, seg, max_sqp_iters,
-        max_pcg_iters, num_alphas, integrator_type, adapt_rho, solve_ratio,
-        unroll, body_fn or solve_channels)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nchunk,),
-        in_specs=[pl.BlockSpec((C_in, 8, _LANES), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, 1, 1), lambda i: (0, 0, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((C_out, 8, _LANES), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C_out, SR, _LANES), dtp),
-        interpret=_interpret(),
-    )(chans, w)
+    out = _launch(cd, model.key, nq, N, B, seg, nchunk, SR, max_sqp_iters,
+                  max_pcg_iters, num_alphas, integrator_type, adapt_rho,
+                  solve_ratio, unroll, False, body_fn, chans, w)
 
     # (C, SR, 128) -> (C, Bp, seg) in problem order
+    C_out = out.shape[0]
     o = out.reshape(C_out, nchunk, 8, G, seg).reshape(C_out, Bp, seg)
     Xo = o[:nx, :B, :N].transpose(1, 2, 0)
     Uo = o[nx:nx + nu, :B, :N - 1].transpose(1, 2, 0)
@@ -455,3 +519,162 @@ def sqp_solve_pallas(model: RobotModel, cp: CostParams, X, U, lam, x_s, ref,
     ls_step = o[k:k + max_sqp_iters, :B, 0]
     return (Xo, Uo, lam_o, rho_o, drho_o, conv, merit0, merit_f,
             iters_run, pcg_it, ls_merit, ls_step)
+
+
+def sqp_solve_pallas_chained(model: RobotModel, cp: CostParams, X, U, lam,
+                             x_s, ref, f_ext, rho, drho, mu, pcg_tol, dt,
+                             N: int, max_sqp_iters: int, max_pcg_iters: int,
+                             num_alphas: int = 8, integrator_type: int = 2,
+                             adapt_rho: bool = True, solve_ratio: float = 1.0,
+                             axis_name=None, body_fn=None):
+    """The megakernel with the reference's WHOLE-BATCH exit semantics at any
+    batch size and across chips: one kernel launch per SQP iteration inside
+    a jitted lax.while_loop, with the solve_ratio convergence count reduced
+    over all chunks (and psum'd over `axis_name` under shard_map) between
+    launches — the TPU-native analogue of the reference's per-iteration
+    D2H + host convergence check (bsqp.cuh:133-165).
+
+    Each launch runs one full SQP iteration (KKT..dz, then merit + line
+    search with the internal exit disabled); if the GLOBAL count crosses
+    B_total * solve_ratio, the exiting iteration's line-search effects
+    (X, U, rho, drho, baseline merit) are reverted — exactly the reference's
+    break placement before the merit kernel. State stays in the packed
+    channel layout across launches, so per-iteration overhead is one kernel
+    dispatch + a few where-selects. Same return contract as
+    sqp_solve_pallas.
+    """
+    cd = _get_cd(model.key)
+    nq = cd.nq
+    nx, nu = 2 * nq, nq
+    B = X.shape[0]
+    dtp = X.dtype
+    seg, G, cap, nchunk, Bp, SR = _layout(N, B)
+    chan, bcast = _packers(B, seg, G, nchunk, Bp, SR)
+
+    # static mask of each real problem's lane-0 position (for the global
+    # converged count straight off the conv channel, no unpack)
+    import numpy as _np
+    np_mask = _np.zeros((SR, _LANES), _np.float32)
+    for p in range(B):
+        r, g = divmod(p, G)
+        np_mask[r, g * seg] = 1.0
+    m0 = jnp.asarray(np_mask, dtp)
+
+    const = jnp.concatenate([
+        bcast(x_s), chan(ref[:, :, :3]), bcast(f_ext),
+    ], axis=0)
+    hp_ch = jnp.concatenate([
+        bcast(mu.astype(dtp)[:, None]), bcast(pcg_tol.astype(dtp)[:, None]),
+    ], axis=0)
+    w = _cost_w(cp, dt, dtp)
+
+    carry0 = dict(
+        X=chan(X), U=chan(U), lam=chan(lam),
+        rho=bcast(rho.astype(dtp)[:, None]),
+        drho=bcast(drho.astype(dtp)[:, None]),
+        state=jnp.zeros((4, SR, _LANES), dtp),  # mbase, merit0, conv, sqp
+    )
+    total_B = B if axis_name is None else B * jax.lax.psum(1, axis_name)
+    thresh = total_B * solve_ratio
+
+    def scalars(ch):  # per-problem (B,) off a (SR, 128) channel
+        return ch.reshape(nchunk, 8, G, seg).reshape(Bp, seg)[:B, 0]
+
+    def one_iter(carry, seeded):
+        chans = jnp.concatenate([
+            carry["X"], carry["U"], const, carry["lam"],
+            carry["rho"], carry["drho"], hp_ch, carry["state"],
+        ], axis=0)
+        out = _launch(cd, model.key, nq, N, B, seg, nchunk, SR, 1,
+                      max_pcg_iters, num_alphas, integrator_type, adapt_rho,
+                      2.0,  # internal exit disabled: the host decides
+                      True, seeded, body_fn, chans, w)
+        k = 2 * nx + nu
+        new = dict(
+            X=out[:nx], U=out[nx:nx + nu], lam=out[nx + nu:k],
+            rho=out[k:k + 1], drho=out[k + 1:k + 2],
+            # conv, merit0, mbase, sqp channels -> carried state order
+            state=jnp.stack([out[k + 4], out[k + 3], out[k + 2], out[k + 5]]),
+        )
+        num_solved = jnp.sum(out[k + 2] * m0)
+        if axis_name is not None:
+            # the one cross-chip collective per iteration: a scalar
+            # AllReduce over ICI so every chip takes the SAME exit decision
+            num_solved = jax.lax.psum(num_solved, axis_name)
+        exit_now = num_solved >= thresh
+        stats = dict(pcg=scalars(out[k + 6]).astype(jnp.int32),
+                     lsm=scalars(out[k + 7]), lss=scalars(out[k + 8]))
+        return new, exit_now, stats
+
+    def select(carry, new, exit_now, it0: bool):
+        """Exit fired on this iteration: revert the line-search effects
+        (trajectory, rho schedule, baseline merit) but KEEP the dual update
+        and the convergence flags — the reference breaks after PCG/dz,
+        before the merit kernel (bsqp.cuh:165)."""
+        keep_ls = jnp.logical_not(exit_now)
+
+        def sel(a, b):
+            return jnp.where(keep_ls, b, a)
+
+        merged_state = new["state"]
+        if it0:
+            # exiting at iteration 0: the baseline/initial merit still
+            # becomes merit(warm start) (the reference computed it up front,
+            # bsqp.cuh:116); it is ms[0] == the launch's merit0 output
+            mbase = jnp.where(keep_ls, new["state"][0], new["state"][1])
+        else:
+            mbase = jnp.where(keep_ls, new["state"][0], carry["state"][0])
+        merged_state = merged_state.at[0].set(mbase)
+        return dict(
+            X=sel(carry["X"], new["X"]), U=sel(carry["U"], new["U"]),
+            lam=new["lam"], rho=sel(carry["rho"], new["rho"]),
+            drho=sel(carry["drho"], new["drho"]), state=merged_state,
+        )
+
+    zb = jnp.zeros((max_sqp_iters, B), dtp)
+    pcg_all = jnp.zeros((max_sqp_iters, B), jnp.int32)
+    lsm_all, lss_all = zb, zb
+
+    # iteration 0: seeds the baseline merit from the alpha=0 block
+    new, exit_now, st0 = one_iter(carry0, seeded=False)
+    carry = select(carry0, new, exit_now, it0=True)
+    pcg_all = pcg_all.at[0].set(st0["pcg"])
+    keep = jnp.logical_not(exit_now)
+    lsm_all = lsm_all.at[0].set(jnp.where(keep, st0["lsm"], 0.0))
+    lss_all = lss_all.at[0].set(jnp.where(keep, st0["lss"], 0.0))
+    it = jnp.int32(1)
+
+    if max_sqp_iters > 1:
+        def cond(s):
+            return jnp.logical_and(s[0] < max_sqp_iters,
+                                   jnp.logical_not(s[1]))
+
+        def body(s):
+            it, _, carry, pcg_all, lsm_all, lss_all = s
+            new, exit_now, sti = one_iter(carry, seeded=True)
+            carry = select(carry, new, exit_now, it0=False)
+            pcg_all = pcg_all.at[it].set(sti["pcg"])
+            keep = jnp.logical_not(exit_now)
+            lsm_all = lsm_all.at[it].set(jnp.where(keep, sti["lsm"], 0.0))
+            lss_all = lss_all.at[it].set(jnp.where(keep, sti["lss"], 0.0))
+            return (it + 1, exit_now, carry, pcg_all, lsm_all, lss_all)
+
+        it, exit_now, carry, pcg_all, lsm_all, lss_all = jax.lax.while_loop(
+            cond, body, (it, exit_now, carry, pcg_all, lsm_all, lss_all))
+
+    def unpk(ch_block, n_lanes):
+        C = ch_block.shape[0]
+        o = ch_block.reshape(C, nchunk, 8, G, seg).reshape(C, Bp, seg)
+        return o[:, :B, :n_lanes].transpose(1, 2, 0)
+
+    Xo = unpk(carry["X"], N)
+    Uo = unpk(carry["U"], N - 1)
+    lam_o = unpk(carry["lam"], N)
+    rho_o = scalars(carry["rho"][0])
+    drho_o = scalars(carry["drho"][0])
+    mbase = scalars(carry["state"][0])
+    merit0 = scalars(carry["state"][1])
+    conv = scalars(carry["state"][2])
+    sqp = scalars(carry["state"][3])
+    return (Xo, Uo, lam_o, rho_o, drho_o, conv, merit0, mbase,
+            sqp, pcg_all, lsm_all, lss_all)

@@ -62,26 +62,40 @@ def solve_batched(
     # Whole-solve megakernel: SQP loop + merit + line search in ONE Pallas
     # launch (ops/pallas_solve.py). "fused" forces it on any backend
     # (interpret mode in CI); "auto" engages it on TPU for every horizon the
-    # kernel supports (N <= 128) at ANY batch — beyond one grid step the
-    # kernel grids over chunks of iter_capacity(N) problems, and v5e A/B
-    # (tools/tune_gates.py big, round 3) shows it beating both the staged
-    # path and the direct BTD solve at every measured chunk count (1-16
-    # chunks, e.g. N=32 B=512: 1.06 ms fused vs 2.57 ms btd). Semantics
-    # note: with multiple chunks the solve_ratio early exit is evaluated
-    # per chunk rather than globally — a finer-grained version of
-    # bsqp.cuh:141-163's whole-batch exit (identical at max_sqp_iters=1).
+    # kernel supports (N <= 128) at ANY batch — v5e A/B (tools/tune_gates.py
+    # big, round 3) shows it beating both the staged path and the direct BTD
+    # solve at every measured chunk count (1-16 chunks, e.g. N=32 B=512:
+    # 1.06 ms fused vs 2.57 ms btd). Exit semantics: within one grid chunk
+    # (B <= solve_capacity(N), unsharded) the one-launch kernel's
+    # solve_ratio exit already IS the reference's whole-batch exit
+    # (bsqp.cuh:141-165); beyond one chunk, or under shard_map (the count
+    # must be psum'd across chips), the chained driver launches one
+    # iteration at a time with a global count between launches — same
+    # semantics at every scale.
     use_solve_kernel = settings.linear_solver == "pcg" and (
         settings.solve_kernel == "fused"
         or (settings.solve_kernel == "auto"
             and settings.N <= 128 and jax.default_backend() == "tpu")
     )
     if use_solve_kernel:
-        (Xo, Uo, lam_o, rho_o, _drho, conv, merit0, merit_f, iters_run,
-         pcg_it, ls_merit, ls_step) = sqp_solve_pallas(
-            model, cp, X, U, lam, x_s, ref, f_ext, hp.rho, hp.drho, hp.mu,
-            hp.pcg_tol, dt, settings.N, settings.max_sqp_iters,
-            settings.max_pcg_iters, settings.num_alphas, itype,
-            settings.adapt_rho, settings.solve_ratio)
+        from ..ops.pallas_solve import solve_capacity
+        one_launch = B <= solve_capacity(settings.N) and axis_name is None
+        if one_launch:
+            (Xo, Uo, lam_o, rho_o, _drho, conv, merit0, merit_f, iters_run,
+             pcg_it, ls_merit, ls_step) = sqp_solve_pallas(
+                model, cp, X, U, lam, x_s, ref, f_ext, hp.rho, hp.drho,
+                hp.mu, hp.pcg_tol, dt, settings.N, settings.max_sqp_iters,
+                settings.max_pcg_iters, settings.num_alphas, itype,
+                settings.adapt_rho, settings.solve_ratio)
+        else:
+            from ..ops.pallas_solve import sqp_solve_pallas_chained
+            (Xo, Uo, lam_o, rho_o, _drho, conv, merit0, merit_f, iters_run,
+             pcg_it, ls_merit, ls_step) = sqp_solve_pallas_chained(
+                model, cp, X, U, lam, x_s, ref, f_ext, hp.rho, hp.drho,
+                hp.mu, hp.pcg_tol, dt, settings.N, settings.max_sqp_iters,
+                settings.max_pcg_iters, settings.num_alphas, itype,
+                settings.adapt_rho, settings.solve_ratio,
+                axis_name=axis_name)
         # drho resets to its init after every solve (bsqp.cuh:189)
         hp_out = HyperParams(rho=rho_o, drho=hp.drho, mu=hp.mu,
                              pcg_tol=hp.pcg_tol)

@@ -49,11 +49,16 @@ class BSQPSettings:
     solve_kernel: str = "auto"  # "fused": the ENTIRE solve — SQP loop, merit
     # sweep, line search, rho schedule — in ONE Pallas kernel launch
     # (ops/pallas_solve.py); "off": per-stage/per-iteration kernels; "auto":
-    # fused on TPU when the batch fits one kernel grid step. Default flipped
-    # to "auto" from v5e measurements (tools/tune_gates.py, round 3): the
-    # megakernel wins EVERY within-capacity cell, e.g. N=8 B=1 37us vs 216us
-    # staged, N=32 B=1 50us vs 149us, N=128 B=8 84us vs 476us — with on-chip
-    # real-body parity recorded in TPU_KERNEL_PARITY.json.
+    # fused on TPU at any batch for N <= 128. Default flipped to "auto" from
+    # v5e measurements (tools/tune_gates.py, round 3): the megakernel wins
+    # EVERY measured cell, e.g. N=8 B=1 37us vs 216us staged, N=32 B=1 50us
+    # vs 149us, N=32 B=512 1.06ms vs 2.57ms btd — with on-chip real-body
+    # parity recorded in TPU_KERNEL_PARITY.json. Exit semantics are the
+    # reference's whole-batch solve_ratio exit at EVERY scale: one launch
+    # within a single grid chunk (B <= solve_capacity(N), unsharded), and
+    # the chained per-iteration driver with a globally-reduced (psum'd
+    # under shard_map) convergence count beyond that
+    # (ops/pallas_solve.py::sqp_solve_pallas_chained).
 
 
 @jax.tree_util.register_dataclass

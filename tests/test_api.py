@@ -54,6 +54,16 @@ def test_bsqp_double_precision_mode():
     with pytest.raises(ValueError):
         BSQP(precision="half")
 
+    # x64 is the caller's responsibility: the constructor must refuse to
+    # flip the process-global flag itself
+    import jax
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(RuntimeError, match="x64"):
+            BSQP(plant_type="indy7", batch_size=1, N=6, precision="double")
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
 
 def test_bsqp_interface_stats_surface():
     B, N = 4, 8

@@ -230,7 +230,8 @@ def test_wrapper_pack_unpack_plumbing(setup64):
 
     def echo_body(cd, key, cp_, N_, B_, msi, mpi, na, it_, ar, sr, dt,
                   Xc, Uc, xsc, r3c, fec, lamc, rhoc, drhoc, muc, epsc,
-                  seg, pvalid, like, unroll=False):
+                  seg, pvalid, like, unroll=False, mbase0=None, merit00=None,
+                  conv0=None, sqp0=None, seeded=False):
         outs = ([Xc[i] + xsc[i] for i in range(12)]
                 + [Uc[i] + fec[i] for i in range(6)]
                 + [lamc[i] + (r3c[i] if i < 3 else 0.0) for i in range(12)]
