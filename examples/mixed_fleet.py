@@ -1,0 +1,136 @@
+"""Mixed indy7 + iiwa14 fleet in one process (SURVEY.md §7 stage 6).
+
+Two plants with different DOF counts cannot share one XLA program, so the
+fleet runs as two jitted solver programs dispatched back-to-back each MPC
+cycle — on one chip they interleave on the device stream; with --mesh every
+member's batch axis is sharded over the same devices. Each member tracks a
+figure-8 EE reference sized to its own workspace, carries per-lane external
+wrench hypotheses (lane 0 = zero, the hypothesis driving the simulation),
+and the merged fleet report (gato_tpu/parallel/fleet.py) combines
+convergence counts and the per-member + fleet-wide best lanes.
+
+The reference runs one compiled (plant, N, B) module at a time
+(python/bindings.cu:220-266); a concurrent mixed fleet with merged stats is
+new capability.
+
+Usage: python examples/mixed_fleet.py [--cycles 60] [--B 8] [--N 8]
+       [--mesh] [--save mixed_fleet_results.json]
+"""
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gato_tpu.api.common import figure8, rk4_step
+from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS, INDY7_START_CONFIGS
+from gato_tpu.dynamics.algorithms import ee_position
+from gato_tpu.ops.cost import CostParams
+from gato_tpu.parallel.fleet import FleetMember, fleet_report, solve_fleet
+from gato_tpu.parallel.sharding import make_mesh
+from gato_tpu.robots.model import load_robot
+from gato_tpu.solver.types import BSQPSettings, HyperParams
+
+
+def make_member(name, plant, q0, fig8_offset, B, N, dt, seed):
+    p = DEFAULT_SOLVER_PARAMS
+    model = load_robot(plant)
+    settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
+                            max_pcg_iters=p["max_pcg_iters"])
+    cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
+                           u_cost=p["u_cost"], N_cost=p["N_cost"],
+                           q_lim_cost=p["q_lim_cost"])
+    hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"],
+                            pcg_tol=p["pcg_tol"])
+    x0 = np.concatenate([q0, np.zeros_like(q0)]).astype(np.float32)
+    traj = figure8(dt, offset=fig8_offset).reshape(-1, 6)
+    rng = np.random.default_rng(seed)
+    f_ext = rng.uniform(-5.0, 5.0, (B, 6)).astype(np.float32)
+    f_ext[0] = 0.0  # the zero hypothesis drives the simulation
+    member = FleetMember(
+        name=name, model=model, settings=settings, cp=cp, hp=hp,
+        X=jnp.asarray(np.tile(x0, (B, N, 1))),
+        U=jnp.zeros((B, N - 1, model.nu), jnp.float32),
+        lam=jnp.zeros((B, N, model.nx), jnp.float32),
+        x_s=jnp.asarray(np.tile(x0, (B, 1))),
+        ref=jnp.asarray(np.tile(traj[:N], (B, 1, 1)).astype(np.float32)),
+        f_ext=jnp.asarray(f_ext),
+        dt=jnp.float32(dt),
+    )
+    return member, traj
+
+
+def main(cycles=60, B=8, N=8, dt=0.01, use_mesh=False, save=None):
+    specs = [
+        ("indy7", INDY7_START_CONFIGS["ready"].astype(np.float32),
+         (0.0, 0.5, 0.6)),
+        # fig-8 centered on the start EE: rotated start point of figure8
+        # (offset (a,b,c), theta=pi/4) is ((a-b)/sqrt2, (a+b)/sqrt2, c+0.2),
+        # matched to ee_position(q0) = (0.68, 0.0, 0.556)
+        ("iiwa14", np.asarray([0.0, 0.6, 0.0, -1.2, 0.0, 0.6, 0.0],
+                              np.float32),
+         (0.481, -0.481, 0.356)),
+    ]
+    members, trajs, sims, errs = [], {}, {}, {}
+    for name, q0, off in specs:
+        m, traj = make_member(name, name, q0, off, B, N, dt, seed=0)
+        members.append(m)
+        trajs[name] = traj
+        sims[name] = jax.jit(lambda x, u, mdl=m.model: rk4_step(
+            mdl, x, u, jnp.float32(dt), substeps=4))
+        errs[name] = []
+
+    mesh = make_mesh() if use_mesh else None
+    if mesh is not None:
+        assert B % len(mesh.devices.ravel()) == 0, (
+            "each member's batch must divide the mesh")
+
+    report = None
+    for k in range(cycles):
+        members, stats = solve_fleet(members, mesh=mesh)
+        report = fleet_report(members, stats)
+        nxt = []
+        for m in members:
+            traj = trajs[m.name]
+            # lane 0 (zero-wrench hypothesis) controls the simulated arm
+            x1 = sims[m.name](m.x_s[0], m.U[0, 0])
+            ee = ee_position(m.model, x1[:m.model.nq])[:3]
+            errs[m.name].append(float(jnp.linalg.norm(
+                ee - jnp.asarray(traj[k + 1, :3]))))
+            B_m = m.X.shape[0]
+            x_s = jnp.tile(x1, (B_m, 1))
+            ref = jnp.asarray(np.tile(traj[k + 1:k + 1 + N], (B_m, 1, 1))
+                              .astype(np.float32))
+            nxt.append(dataclasses.replace(
+                m, x_s=x_s, ref=ref, X=m.X.at[:, 0, :].set(x_s)))
+        members = nxt
+
+    steady = cycles // 4
+    out = {"cycles": cycles, "B_per_member": B, "N": N,
+           "mesh": None if mesh is None else len(mesh.devices.ravel()),
+           "final_report": report,
+           "tracking_err_m": {
+               n: {"mean": round(float(np.mean(e[steady:])), 4),
+                   "max": round(float(np.max(e[steady:])), 4)}
+               for n, e in errs.items()}}
+    print(json.dumps(out, indent=1))
+    if save:
+        with open(save, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"saved -> {save}")
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cycles", type=int, default=60)
+    ap.add_argument("--B", type=int, default=8)
+    ap.add_argument("--N", type=int, default=8)
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard every member's batch over all devices")
+    ap.add_argument("--save", default=None)
+    a = ap.parse_args()
+    main(cycles=a.cycles, B=a.B, N=a.N, use_mesh=a.mesh, save=a.save)

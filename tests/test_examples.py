@@ -66,3 +66,16 @@ def test_force_adaptive_smoke():
         assert out[mode]["ee_hold_err_m_tail"] < 0.3
     # the observer identifies most of the wrench within a dozen cycles
     assert out["observer"]["force_err_N_final"] < 2.0
+
+
+def test_mixed_fleet_smoke():
+    import mixed_fleet
+
+    out = mixed_fleet.main(cycles=8, B=4, N=8)
+    rep = out["final_report"]
+    assert rep["total_lanes"] == 8
+    assert set(rep["members"]) == {"indy7", "iiwa14"}
+    assert rep["winner"]["member"] in ("indy7", "iiwa14")
+    assert np.isfinite(rep["winner"]["merit"])
+    for n in ("indy7", "iiwa14"):
+        assert np.isfinite(out["tracking_err_m"][n]["mean"])

@@ -21,7 +21,15 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--cells", default=None,
                     help="comma list like 8:1,8:32,16:32 overriding defaults")
+    ap.add_argument("--verbose-work", action="store_true",
+                    help="record per-arm chained work (pcg iters, step sizes)"
+                         " so cells doing non-comparable work are visible"
+                         " (VERDICT r3: N8_B8 fused 3.6us < its own B=1 row"
+                         " smelled like an early-exit artifact)")
     args = ap.parse_args()
+
+    import contextlib
+    import io
 
     from bench import bench_solve
     from gato_tpu.ops.pallas_iter import iter_capacity
@@ -29,10 +37,23 @@ def main():
     results = {}
 
     def run(N, B, tag, solver="pcg", **overrides):
-        t = bench_solve(N, B, solver=solver, **overrides)
         key = f"N{N}_B{B}_{tag}"
-        results[key] = round(t * 1e6, 1)
-        print(f"{key}: {t*1e6:9.1f} us", flush=True)
+        if args.verbose_work:
+            # capture bench_solve's [work] lines into the record
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                t = bench_solve(N, B, solver=solver, verbose_work=True,
+                                **overrides)
+            work = [l.strip() for l in buf.getvalue().splitlines()
+                    if "[work]" in l]
+            results[key] = {"us": round(t * 1e6, 1), "work": work}
+            print(f"{key}: {t*1e6:9.1f} us", flush=True)
+            for l in work:
+                print(f"    {l}", flush=True)
+        else:
+            t = bench_solve(N, B, solver=solver, **overrides)
+            results[key] = round(t * 1e6, 1)
+            print(f"{key}: {t*1e6:9.1f} us", flush=True)
         return t
 
     cells = ([tuple(map(int, c.split(":"))) for c in args.cells.split(",")]
