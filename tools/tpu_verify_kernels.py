@@ -30,15 +30,36 @@ def _maxdiff(a, b):
 
 
 def core_parity(N, B):
-    """One fused iteration core vs the staged XLA pipeline."""
+    """One fused iteration core vs the staged XLA pipeline, split into the
+    two claims that are actually testable (VERDICT r3 weak #4):
+
+    pcg_same_inputs — identical Schur systems (XLA assembly) through the XLA
+      PCG and the standalone Pallas PCG kernel: SAME preconditioner, SAME
+      exit test (pcg.cuh:85-92), so per-lane iteration counts must be EQUAL.
+
+    fused — sqp_iter_pallas assembles KKT/Schur INSIDE the kernel from the
+      channelized dynamics; its float32 rounding differs from the XLA
+      assembly, so on warm-started near-tolerance systems its PCG stops at
+      different per-lane counts (counts are NOT comparable across different
+      assemblies) and the inexact-solve lam difference is amplified into dz
+      by R^-1 ~ 1/u_cost ~ 5e5 (schur_linsys.cuh dz recovery). The
+      meaningful quality metric recorded instead: the fused lam's
+      preconditioned residual |r^T z| evaluated in the XLA-assembled system
+      must satisfy the same exit criterion (abs_tol + eps * |rho_init|, a
+      small slack for the assembly delta) that stopped the XLA arm — i.e.
+      both arms return valid inexact-Newton duals of the same contract.
+      End-to-end equivalence (identical accepted steps through merit + line
+      search) is the solve_iter/solve_solve sections' job.
+    """
     import jax
     import jax.numpy as jnp
 
     from bench import steady_state_problem
     from gato_tpu.ops.kkt import setup_kkt
     from gato_tpu.ops.pallas_iter import sqp_iter_pallas
-    from gato_tpu.ops.pcg import pcg_solve_batched
-    from gato_tpu.ops.schur import build_schur, compute_dz
+    from gato_tpu.ops.pallas_pcg import pcg_solve_batched_pallas
+    from gato_tpu.ops.pcg import PCG_ABS_TOL, pcg_solve_batched
+    from gato_tpu.ops.schur import btd_matvec, build_schur, compute_dz
     from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS
 
     (model, cp, hp, X, U, lam, x_s, ref, f_ext, dtj, _traj,
@@ -47,30 +68,60 @@ def core_parity(N, B):
     max_pcg = DEFAULT_SOLVER_PARAMS["max_pcg_iters"]
 
     @jax.jit
-    def staged(X, U, lam):
+    def assemble(X, U):
         kkt = jax.vmap(lambda X_, U_, xs_, r_, fe_: setup_kkt(
             model, cp, X_, U_, xs_, r_, fe_, dtj, 2))(X, U, x_s, ref, f_ext)
         schur = jax.vmap(lambda k, r: build_schur(k, r, model.nq))(kkt, hp.rho)
-        lam_o, iters = pcg_solve_batched(
-            schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
-            schur.gamma, lam, hp.pcg_tol, max_pcg, skip=skip)
-        dZX, dZU, _, _ = jax.vmap(compute_dz)(kkt, schur, lam_o)
-        return dZX, dZU, lam_o, iters
+        return kkt, schur
+
+    kkt, schur = assemble(X, U)
+
+    def rho_of(lam_v):
+        """|r^T z| of lam_v in the XLA-assembled system (the PCG exit
+        quantity, pcg.cuh:85-92)."""
+        mv = jax.vmap(btd_matvec)
+        r = schur.gamma - mv(schur.S_main, schur.S_lower, lam_v)
+        z = mv(schur.P_main, schur.P_lower, r)
+        return jnp.abs(jnp.sum(r * z, axis=(-2, -1)))
+
+    args = (schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
+            schur.gamma, lam, hp.pcg_tol, max_pcg)
+    lam_a, it_a = jax.jit(lambda: pcg_solve_batched(*args, skip=skip))()
+    lam_b, it_b = jax.jit(
+        lambda: pcg_solve_batched_pallas(*args, skip=skip))()
 
     @jax.jit
     def fused(X, U, lam):
         return sqp_iter_pallas(model, cp, X, U, x_s, ref, f_ext, lam,
                                hp.rho, hp.pcg_tol, skip, dtj, max_pcg, 2)
 
-    ax, au, al, ai = jax.tree.map(np.asarray, staged(X, U, lam))
-    bx, bu, bl, bi = jax.tree.map(np.asarray, fused(X, U, lam))
-    # dz scale for relative context (the step the line search consumes)
-    scale = max(float(np.max(np.abs(ax))), 1e-9)
+    dzx_c, dzu_c, lam_c, it_c = fused(X, U, lam)
+    dZX_a, dZU_a, _, _ = jax.jit(
+        lambda l: jax.vmap(compute_dz)(kkt, schur, l))(lam_a)
+
+    thresh = np.asarray(PCG_ABS_TOL
+                        + np.asarray(hp.pcg_tol) * np.asarray(rho_of(lam)))
+    rho_a = np.asarray(rho_of(lam_a))
+    rho_c = np.asarray(rho_of(lam_c))
+    scale = max(float(np.max(np.abs(np.asarray(dZX_a)))), 1e-9)
     return {
-        "dzx_maxdiff": _maxdiff(ax, bx), "dzu_maxdiff": _maxdiff(au, bu),
-        "lam_maxdiff": _maxdiff(al, bl), "dz_scale": scale,
-        "pcg_iters_xla": np.asarray(ai).tolist(),
-        "pcg_iters_fused": np.asarray(bi).tolist(),
+        "pcg_same_inputs": {
+            "iters_equal": bool((np.asarray(it_a) == np.asarray(it_b)).all()),
+            "iters_xla": np.asarray(it_a).tolist(),
+            "iters_pallas": np.asarray(it_b).tolist(),
+            "lam_maxdiff": _maxdiff(lam_a, lam_b),
+        },
+        "fused": {
+            "iters_fused": np.asarray(it_c).tolist(),
+            "exit_rho_ratio_xla_arm": float(np.max(rho_a / thresh)),
+            "exit_rho_ratio_fused_arm": float(np.max(rho_c / thresh)),
+            "lam_maxdiff": _maxdiff(lam_a, lam_c),
+            "dzx_maxdiff": _maxdiff(dZX_a, dzx_c),
+            "dzu_maxdiff": _maxdiff(dZU_a, dzu_c),
+            "dz_scale": scale,
+            "dzu_amplification_Rinv": float(
+                1.0 / max(float(np.asarray(cp.u_cost)), 1e-12)),
+        },
     }
 
 
