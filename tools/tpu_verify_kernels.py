@@ -87,8 +87,15 @@ def core_parity(N, B):
     args = (schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
             schur.gamma, lam, hp.pcg_tol, max_pcg)
     lam_a, it_a = jax.jit(lambda: pcg_solve_batched(*args, skip=skip))()
-    lam_b, it_b = jax.jit(
-        lambda: pcg_solve_batched_pallas(*args, skip=skip))()
+    # same VMEM bound as the solver's auto gate (solver/bsqp.py)
+    nx = model.nx
+    B_pad = max(8, -(-B // 8) * 8)
+    N_pad = -(-N // 128) * 128
+    vmem = (4 * nx * nx + 2 * nx + 2) * B_pad * N_pad * 4
+    run_pallas_pcg = vmem <= 10 * 2**20
+    if run_pallas_pcg:
+        lam_b, it_b = jax.jit(
+            lambda: pcg_solve_batched_pallas(*args, skip=skip))()
 
     @jax.jit
     def fused(X, U, lam):
@@ -104,13 +111,15 @@ def core_parity(N, B):
     rho_a = np.asarray(rho_of(lam_a))
     rho_c = np.asarray(rho_of(lam_c))
     scale = max(float(np.max(np.abs(np.asarray(dZX_a)))), 1e-9)
+    same = ({
+        "iters_equal": bool((np.asarray(it_a) == np.asarray(it_b)).all()),
+        "iters_xla": np.asarray(it_a).tolist(),
+        "iters_pallas": np.asarray(it_b).tolist(),
+        "lam_maxdiff": _maxdiff(lam_a, lam_b),
+    } if run_pallas_pcg else
+        {"skipped": f"vmem estimate {vmem/2**20:.1f} MiB > solver gate"})
     return {
-        "pcg_same_inputs": {
-            "iters_equal": bool((np.asarray(it_a) == np.asarray(it_b)).all()),
-            "iters_xla": np.asarray(it_a).tolist(),
-            "iters_pallas": np.asarray(it_b).tolist(),
-            "lam_maxdiff": _maxdiff(lam_a, lam_b),
-        },
+        "pcg_same_inputs": same,
         "fused": {
             "iters_fused": np.asarray(it_c).tolist(),
             "exit_rho_ratio_xla_arm": float(np.max(rho_a / thresh)),
@@ -168,21 +177,23 @@ def solve_parity(N, B, arm):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="TPU_KERNEL_PARITY.json")
-    ap.add_argument("--cells", default="8:1,8:32,16:32,32:1,32:8,64:8,128:1")
+    ap.add_argument("--cells",
+                    default="8:1,8:32,16:32,32:1,32:8,64:8,128:1,32:64")
     args = ap.parse_args()
 
     import jax
-    from gato_tpu.ops.pallas_iter import iter_capacity
 
     backend = jax.default_backend()
     cells = [tuple(map(int, c.split(":"))) for c in args.cells.split(",")]
     results = {"meta": {"backend": backend,
                         "device": str(jax.devices()[0]),
                         "note": "real-body Pallas-vs-XLA parity; "
-                                "warm-started fig-8 MPC problems"}}
+                                "warm-started fig-8 MPC problems. Cells "
+                                "beyond one kernel grid chunk (e.g. N32_B64)"
+                                " exercise the chained per-iteration driver "
+                                "(ops/pallas_solve.py::"
+                                "sqp_solve_pallas_chained)."}}
     for N, B in cells:
-        if B > iter_capacity(N):
-            continue
         key = f"N{N}_B{B}"
         print(f"--- {key} core", flush=True)
         results[key] = {"core": core_parity(N, B)}
