@@ -25,6 +25,10 @@ def test_two_process_sharded_solve():
     worker = os.path.join(root, "tests", "dist_worker.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 2-device flag
+    # `python tests/dist_worker.py` puts tests/ (not the repo root) on
+    # sys.path, so the workers need the root explicitly — the test must not
+    # depend on an editable install being present in the venv
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), "2", str(port)],
