@@ -84,9 +84,24 @@ def core_parity(N, B):
         z = mv(schur.P_main, schur.P_lower, r)
         return jnp.abs(jnp.sum(r * z, axis=(-2, -1)))
 
+    # the big arrays MUST be jit arguments, not captured constants: a
+    # captured operand reaches the Pallas custom-call as an XLA constant
+    # materialized in scoped VMEM, doubling the kernel's footprint past the
+    # 16 MiB limit (observed OOM at B=32)
     args = (schur.S_main, schur.S_lower, schur.P_main, schur.P_lower,
-            schur.gamma, lam, hp.pcg_tol, max_pcg)
-    lam_a, it_a = jax.jit(lambda: pcg_solve_batched(*args, skip=skip))()
+            schur.gamma, lam, hp.pcg_tol)
+
+    @jax.jit
+    def run_xla(Sm, Sl, Pm, Pl, g, l0, tol):
+        return pcg_solve_batched(Sm, Sl, Pm, Pl, g, l0, tol, max_pcg,
+                                 skip=skip)
+
+    @jax.jit
+    def run_pal(Sm, Sl, Pm, Pl, g, l0, tol):
+        return pcg_solve_batched_pallas(Sm, Sl, Pm, Pl, g, l0, tol, max_pcg,
+                                        skip=skip)
+
+    lam_a, it_a = run_xla(*args)
     # same VMEM bound as the solver's auto gate (solver/bsqp.py)
     nx = model.nx
     B_pad = max(8, -(-B // 8) * 8)
@@ -94,8 +109,7 @@ def core_parity(N, B):
     vmem = (4 * nx * nx + 2 * nx + 2) * B_pad * N_pad * 4
     run_pallas_pcg = vmem <= 10 * 2**20
     if run_pallas_pcg:
-        lam_b, it_b = jax.jit(
-            lambda: pcg_solve_batched_pallas(*args, skip=skip))()
+        lam_b, it_b = run_pal(*args)
 
     @jax.jit
     def fused(X, U, lam):
