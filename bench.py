@@ -240,7 +240,9 @@ def main():
         for N in (8, 16, 32, 64, 128):
             for B in (1, 32, 128, 512, 1024):
                 t = bench_solve(N, B, plant=args.plant, solver=args.solver, timing=args.timing)
-                ref = REFERENCE_MS.get((N, B))
+                # the reference heatmap is indy7-only (BASELINE.md); other
+                # plants get no vs_ref rather than a misleading ratio
+                ref = REFERENCE_MS.get((N, B)) if args.plant == "indy7" else None
                 rows[f"N{N}_B{B}"] = {
                     "ms": round(t * 1e3, 3),
                     "vs_ref": round(ref / (t * 1e3), 3) if ref else None,
@@ -260,7 +262,8 @@ def main():
                         ("btd", dict(solver="btd"))):
                     t = bench_solve(N, B, plant=args.plant,
                                     timing=args.timing, **overrides)
-                    ref = REFERENCE_MS.get((N, B))
+                    ref = (REFERENCE_MS.get((N, B))
+                           if args.plant == "indy7" else None)
                     rows[f"N{N}_B{B}_{tag}"] = {
                         "ms": round(t * 1e3, 3),
                         "vs_ref": round(ref / (t * 1e3), 3) if ref else None,
