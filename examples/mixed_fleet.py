@@ -20,6 +20,14 @@ Usage: python examples/mixed_fleet.py [--cycles 60] [--B 8] [--N 8]
 import argparse
 import dataclasses
 import json
+import os
+import sys
+
+# runnable as `python examples/mixed_fleet.py` without an editable install.
+# Do NOT use PYTHONPATH=. instead: pre-pending the repo root to every
+# process's path shadows a module the axon TPU plugin imports and kills its
+# registration (CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -35,7 +43,7 @@ from gato_tpu.robots.model import load_robot
 from gato_tpu.solver.types import BSQPSettings, HyperParams
 
 
-def make_member(name, plant, q0, fig8_offset, B, N, dt, seed):
+def make_member(name, plant, q0, fig8_offset, B, N, dt, seed, amp=0.4):
     p = DEFAULT_SOLVER_PARAMS
     model = load_robot(plant)
     settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
@@ -46,7 +54,7 @@ def make_member(name, plant, q0, fig8_offset, B, N, dt, seed):
     hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"],
                             pcg_tol=p["pcg_tol"])
     x0 = np.concatenate([q0, np.zeros_like(q0)]).astype(np.float32)
-    traj = figure8(dt, offset=fig8_offset).reshape(-1, 6)
+    traj = figure8(dt, A_x=amp, A_z=amp, offset=fig8_offset).reshape(-1, 6)
     rng = np.random.default_rng(seed)
     f_ext = rng.uniform(-5.0, 5.0, (B, 6)).astype(np.float32)
     f_ext[0] = 0.0  # the zero hypothesis drives the simulation
@@ -66,17 +74,20 @@ def make_member(name, plant, q0, fig8_offset, B, N, dt, seed):
 def main(cycles=60, B=8, N=8, dt=0.01, use_mesh=False, save=None):
     specs = [
         ("indy7", INDY7_START_CONFIGS["ready"].astype(np.float32),
-         (0.0, 0.5, 0.6)),
-        # fig-8 centered on the start EE: rotated start point of figure8
-        # (offset (a,b,c), theta=pi/4) is ((a-b)/sqrt2, (a+b)/sqrt2, c+0.2),
-        # matched to ee_position(q0) = (0.68, 0.0, 0.556)
-        ("iiwa14", np.asarray([0.0, 0.6, 0.0, -1.2, 0.0, 0.6, 0.0],
+         (0.0, 0.5, 0.6), 0.4),
+        # fig-8 centered on the start EE and sized to stay WELL inside the
+        # ~0.8 m workspace: rotated start point of figure8 (offset (a,b,c),
+        # theta=pi/4) is ((a-b)/sqrt2, (a+b)/sqrt2, c + A/2), matched to
+        # ee_position(q0) = (0.556, 0.0, 0.335). An over-reach curve makes
+        # closed-loop tracking chaotic (unreachable arcs + joint-limit
+        # barriers) and backend-sensitive.
+        ("iiwa14", np.asarray([0.0, 0.7, 0.0, -1.6, 0.0, 1.0, 0.0],
                               np.float32),
-         (0.481, -0.481, 0.356)),
+         (0.393, -0.393, 0.21), 0.25),
     ]
     members, trajs, sims, errs = [], {}, {}, {}
-    for name, q0, off in specs:
-        m, traj = make_member(name, name, q0, off, B, N, dt, seed=0)
+    for name, q0, off, amp in specs:
+        m, traj = make_member(name, name, q0, off, B, N, dt, seed=0, amp=amp)
         members.append(m)
         trajs[name] = traj
         sims[name] = jax.jit(lambda x, u, mdl=m.model: rk4_step(
