@@ -82,8 +82,19 @@ def steady_state_problem(N, B, plant="indy7", settings=None):
     hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"], pcg_tol=p["pcg_tol"])
 
     dt = 0.01
-    traj = figure8(dt).reshape(-1, 6)
-    q0 = INDY7_START_CONFIGS["ready"] if plant == "indy7" else np.zeros(model.nq)
+    if plant == "indy7":
+        traj = figure8(dt).reshape(-1, 6)
+        q0 = INDY7_START_CONFIGS["ready"]
+    else:
+        # elbow-bent start with the fig-8 centered on its EE and sized to
+        # the ~0.8 m workspace: from the vertical zero pose (singular) with
+        # the indy7-placed reference, several warm-started lanes' PCG
+        # legitimately diverges (200 iters, NaN) and the "benchmark"
+        # measures NaN-scrubbed degenerate solves
+        from gato_tpu.api.config import IIWA14_START_CONFIGS
+        traj = figure8(dt, A_x=0.25, A_z=0.25,
+                       offset=(0.393, -0.393, 0.21)).reshape(-1, 6)
+        q0 = IIWA14_START_CONFIGS["bent"]
     x0 = np.concatenate([q0, np.zeros(model.nq)]).astype(np.float32)
 
     X = jnp.asarray(np.tile(x0, (B, N, 1)))

@@ -28,6 +28,12 @@ INDY7_START_CONFIGS = {
 IIWA14_START_CONFIGS = {
     "zero": np.zeros(7),
     "home": np.zeros(7),
+    # elbow-bent, EE at (0.556, 0, 0.335): the benchmark/demo start. The
+    # vertical zero pose is singular (gravity torques vanish, the task
+    # Jacobian loses rank) — warm-started solves there leave several lanes'
+    # PCG legitimately divergent, so it measures NaN-scrubbed degenerate
+    # work instead of real MPC steps.
+    "bent": np.array([0.0, 0.7, 0.0, -1.6, 0.0, 1.0, 0.0]),
 }
 
 # config.py:35-50

@@ -29,7 +29,7 @@ def _maxdiff(a, b):
     return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
 
 
-def core_parity(N, B):
+def core_parity(N, B, plant="indy7"):
     """One fused iteration core vs the staged XLA pipeline, split into the
     two claims that are actually testable (VERDICT r3 weak #4):
 
@@ -63,7 +63,7 @@ def core_parity(N, B):
     from gato_tpu.api.config import DEFAULT_SOLVER_PARAMS
 
     (model, cp, hp, X, U, lam, x_s, ref, f_ext, dtj, _traj,
-     _step) = steady_state_problem(N, B)
+     _step) = steady_state_problem(N, B, plant=plant)
     skip = jnp.zeros(B, dtype=bool)
     max_pcg = DEFAULT_SOLVER_PARAMS["max_pcg_iters"]
 
@@ -148,7 +148,7 @@ def core_parity(N, B):
     }
 
 
-def solve_parity(N, B, arm):
+def solve_parity(N, B, arm, plant="indy7"):
     """Full solve: iter_kernel or solve_kernel fused vs both off."""
     import jax
     import numpy as np
@@ -167,7 +167,7 @@ def solve_parity(N, B, arm):
 
     base = mk(iter_kernel="off", solve_kernel="off")
     (model, cp, hp, X, U, lam, x_s, ref, f_ext, dtj, _traj,
-     _step) = steady_state_problem(N, B, settings=base)
+     _step) = steady_state_problem(N, B, plant=plant, settings=base)
     test = (mk(iter_kernel="fused", solve_kernel="off") if arm == "iter"
             else mk(solve_kernel="fused"))
 
@@ -193,6 +193,7 @@ def main():
     ap.add_argument("--out", default="TPU_KERNEL_PARITY.json")
     ap.add_argument("--cells",
                     default="8:1,8:32,16:32,32:1,32:8,64:8,128:1,32:64")
+    ap.add_argument("--plant", default="indy7", choices=["indy7", "iiwa14"])
     args = ap.parse_args()
 
     import jax
@@ -207,13 +208,15 @@ def main():
                                 " exercise the chained per-iteration driver "
                                 "(ops/pallas_solve.py::"
                                 "sqp_solve_pallas_chained)."}}
+    pre = "" if args.plant == "indy7" else f"{args.plant}_"
     for N, B in cells:
-        key = f"N{N}_B{B}"
+        key = f"{pre}N{N}_B{B}"
         print(f"--- {key} core", flush=True)
-        results[key] = {"core": core_parity(N, B)}
+        results[key] = {"core": core_parity(N, B, plant=args.plant)}
         for arm in ("iter", "solve"):
             print(f"--- {key} solve[{arm}]", flush=True)
-            results[key][f"solve_{arm}"] = solve_parity(N, B, arm)
+            results[key][f"solve_{arm}"] = solve_parity(N, B, arm,
+                                                        plant=args.plant)
         print(json.dumps(results[key], indent=1), flush=True)
 
     with open(args.out, "w") as f:
