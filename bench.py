@@ -131,7 +131,8 @@ def steady_state_problem(N, B, plant="indy7", settings=None):
 
 
 def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
-                verbose_work=False, timing="device", **setting_overrides):
+                verbose_work=False, return_work=False, timing="device",
+                **setting_overrides):
     """Steady-state MPC solve time.
 
     timing="device": sustained per-cycle device time, measured by chaining
@@ -218,7 +219,11 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
 
     args0 = (X, U, lam, x_s, jnp.int32(step + 1))
 
-    if verbose_work:
+    work = None
+    if verbose_work or return_work:
+        # per-cycle work trace over 8 chained steady-state cycles — the
+        # evidence that a timed cell is doing real Krylov work and not
+        # timing the converged early-exit branch (VERDICT r3/r4 ask)
         @jax.jit
         def run_stats(X, U, lam, x_s, i0):
             def body(c, _):
@@ -227,10 +232,25 @@ def bench_solve(N, B, plant="indy7", solver="auto", sqp_iters=None,
             _, work = jax.lax.scan(body, (X, U, lam, x_s, i0), None, length=8)
             return work
         piters, steps_ = run_stats(*args0)
-        print(f"  [work] chained pcg_iters(lane0)={np.asarray(piters)[:, 0]}"
-              f" step(lane0)={np.asarray(steps_)[:, 0]}")
+        piters = np.asarray(piters)   # (8, B)
+        steps_ = np.asarray(steps_)   # (8, B)
+        work = {
+            "pcg_iters_lane0": piters[:, 0].astype(int).tolist(),
+            "step_lane0": [round(float(s), 4) for s in steps_[:, 0]],
+            "pcg_iters_mean": round(float(piters.mean()), 2),
+            "pcg_iters_max": int(piters.max()),
+            "steps_accepted_frac": round(float((steps_ > 0).mean()), 3),
+        }
+        if verbose_work:
+            print(f"  [work] chained pcg_iters(lane0)={piters[:, 0]}"
+                  f" step(lane0)={steps_[:, 0]}"
+                  f" mean={work['pcg_iters_mean']}"
+                  f" max={work['pcg_iters_max']}")
 
-    return time_loop_fn(lambda k: run_k(*args0, jnp.int32(k)))
+    t = time_loop_fn(lambda k: run_k(*args0, jnp.int32(k)))
+    if return_work:
+        return t, work
+    return t
 
 
 def main():
@@ -241,6 +261,12 @@ def main():
     ap.add_argument("--solver", default="auto", choices=["auto", "pcg", "btd"])
     ap.add_argument("--timing", default="device", choices=["device", "wall"])
     ap.add_argument("--grid", action="store_true")
+    ap.add_argument("--verbose-work", action="store_true",
+                    help="record an 8-cycle chained work trace (pcg iters, "
+                         "step sizes) per cell; in --grid mode the trace is "
+                         "embedded in each cell's row and cells whose steady "
+                         "state legitimately converges (pcg_iters==0: the "
+                         "timed program takes the exit branch) are annotated")
     args = ap.parse_args()
 
     if args.grid:
@@ -250,7 +276,13 @@ def main():
         rows = {}
         for N in (8, 16, 32, 64, 128):
             for B in (1, 32, 128, 512, 1024):
-                t = bench_solve(N, B, plant=args.plant, solver=args.solver, timing=args.timing)
+                t = bench_solve(N, B, plant=args.plant, solver=args.solver,
+                                timing=args.timing,
+                                return_work=args.verbose_work,
+                                verbose_work=args.verbose_work)
+                work = None
+                if args.verbose_work:
+                    t, work = t
                 # the reference heatmap is indy7-only (BASELINE.md); other
                 # plants get no vs_ref rather than a misleading ratio
                 ref = REFERENCE_MS.get((N, B)) if args.plant == "indy7" else None
@@ -258,6 +290,13 @@ def main():
                     "ms": round(t * 1e3, 3),
                     "vs_ref": round(ref / (t * 1e3), 3) if ref else None,
                 }
+                if work is not None:
+                    rows[f"N{N}_B{B}"]["work"] = work
+                    if work["pcg_iters_max"] == 0:
+                        rows[f"N{N}_B{B}"]["note"] = (
+                            "steady state converged: chained pcg_iters all 0 "
+                            "— this cell times the solver's converged exit "
+                            "branch, not a full Krylov solve")
                 print(f"N={N:3d} B={B:3d}: {t*1e3:8.3f} ms"
                       + (f"  (ref {ref} ms, x{ref/(t*1e3):.2f})" if ref else ""))
         # staged-path columns at large batch, kernels off: the

@@ -71,7 +71,53 @@ def make_member(name, plant, q0, fig8_offset, B, N, dt, seed, amp=0.4):
     return member, traj
 
 
-def main(cycles=60, B=8, N=8, dt=0.01, use_mesh=False, save=None):
+def device_cycle_time(members, trajs, N):
+    """Sustained per-cycle DEVICE time of the whole fleet cycle (both
+    members' solves + lane-0 sim + rolled reference windows) by chaining k
+    cycles in one jitted fori_loop (utils/timing.py:time_loop_fn — the only
+    trustworthy protocol on this image's tunneled runtime)."""
+    from gato_tpu.solver.bsqp import solve_batched
+    from gato_tpu.utils.timing import time_loop_fn
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from gato_tpu.ops.pallas_sim import rk4_step_batched_pallas
+
+    trajd = [jnp.asarray(trajs[m.name].astype(np.float32)) for m in members]
+
+    def cycle(carry):
+        i, states = carry
+        new_states = []
+        for m, td, st in zip(members, trajd, states):
+            X, U, lam, x_s = st
+            T = td.shape[0]
+            ref = jax.lax.dynamic_slice(td, (i % (T - N), 0), (N, 6))
+            B_m = X.shape[0]
+            refc = jnp.broadcast_to(ref[None], (B_m, N, 6))
+            Xo, Uo, lamo, _, _ = solve_batched(
+                m.model, m.settings, m.cp, m.hp, X, U, lam, x_s, refc,
+                m.f_ext, m.dt)
+            if on_tpu:
+                xs1 = rk4_step_batched_pallas(m.model, x_s[:1], Uo[:1, 0],
+                                              m.dt, substeps=2)[0]
+            else:
+                xs1 = rk4_step(m.model, x_s[0], Uo[0, 0], m.dt, substeps=2)
+            xsn = jnp.broadcast_to(xs1[None], (B_m, X.shape[2]))
+            Xo = Xo.at[:, 0, :].set(xsn)
+            new_states.append((Xo, Uo, lamo, xsn))
+        return (i + 1, tuple(new_states))
+
+    @jax.jit
+    def run_k(states, k):
+        return jax.lax.fori_loop(0, k, lambda _, c: cycle(c),
+                                 (jnp.int32(1), states))[1]
+
+    states0 = tuple((m.X, m.U, m.lam, m.x_s) for m in members)
+    return time_loop_fn(lambda k: run_k(states0, jnp.int32(k)))
+
+
+def main(cycles=60, B=8, N=8, dt=0.01, use_mesh=False, save=None,
+         device_time=False):
     specs = [
         ("indy7", INDY7_START_CONFIGS["ready"].astype(np.float32),
          (0.0, 0.5, 0.6), 0.4),
@@ -121,12 +167,19 @@ def main(cycles=60, B=8, N=8, dt=0.01, use_mesh=False, save=None):
 
     steady = cycles // 4
     out = {"cycles": cycles, "B_per_member": B, "N": N,
+           "total_lanes": B * len(members),
            "mesh": None if mesh is None else len(mesh.devices.ravel()),
            "final_report": report,
            "tracking_err_m": {
                n: {"mean": round(float(np.mean(e[steady:])), 4),
                    "max": round(float(np.max(e[steady:])), 4)}
                for n, e in errs.items()}}
+    if device_time:
+        t = device_cycle_time(members, trajs, N)
+        out["per_cycle_device_us"] = round(t * 1e6, 1)
+        out["lane_solves_per_s"] = round(B * len(members) / t, 1)
+        print(f"fleet per-cycle device time: {t*1e6:.1f} us "
+              f"({out['lane_solves_per_s']:.0f} lane-solves/s)")
     print(json.dumps(out, indent=1))
     if save:
         with open(save, "w") as f:
@@ -142,6 +195,10 @@ if __name__ == "__main__":
     ap.add_argument("--N", type=int, default=8)
     ap.add_argument("--mesh", action="store_true",
                     help="shard every member's batch over all devices")
+    ap.add_argument("--device-time", action="store_true",
+                    help="also measure the sustained per-cycle device time "
+                         "of the whole fleet cycle (chained timing)")
     ap.add_argument("--save", default=None)
     a = ap.parse_args()
-    main(cycles=a.cycles, B=a.B, N=a.N, use_mesh=a.mesh, save=a.save)
+    main(cycles=a.cycles, B=a.B, N=a.N, use_mesh=a.mesh, save=a.save,
+         device_time=a.device_time)

@@ -1,9 +1,25 @@
 """Pick-and-place with a swinging pendulum payload (gato_pickplace.ipynb
 analogue): iiwa14 + 15 kg pendulum on the EE (sim model only; the solver sees
 the robot alone), goal sequence with reached/timeout outcomes, batch
-hypotheses handle the unmodeled payload."""
+hypotheses handle the unmodeled payload.
+
+Two loop modes:
+  default      — the host-stepped MPC_GATO loop (the reference's own loop
+                 shape, python/bsqp/mpc_controller.py:361-599);
+  --device-loop — the identical cycle semantics as ONE jitted lax.scan
+                 (api/rollout.py::closed_loop_rollout_goals), which removes
+                 the ~25 ms/hop tunnel latency of this image's TPU runtime
+                 and makes the reference-scale cells (B up to 128, N up to
+                 128, 5-goal sequence) runnable in seconds of device time.
+"""
 
 import argparse
+import json
+import os
+import sys
+
+# runnable without an editable install; never PYTHONPATH=. (CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -33,7 +49,10 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None,
             goal_threshold=PICKPLACE_MPC_DEFAULTS["goal_threshold"],
             velocity_threshold=PICKPLACE_MPC_DEFAULTS["velocity_threshold"],
         )
-        outcomes[B] = stats["goal_outcomes"]
+        outcomes[B] = {"goal_outcomes": stats["goal_outcomes"],
+                       "goal_reached_times": [
+                           None if t is None else round(float(t), 3)
+                           for t in stats["goal_reached_times"]]}
         if viz:
             # skeleton-strip render of the rollout (the reference notebook's
             # meshcat animation role; gato_tpu/utils/viz.py)
@@ -47,9 +66,101 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None,
 
     print("\nsummary:")
     for B, o in outcomes.items():
-        reached = sum(1 for x in o if x == "reached")
-        print(f"  B={B:4d}: {reached}/{len(o)} goals  {o}")
+        oc = o["goal_outcomes"]
+        reached = sum(1 for x in oc if x == "reached")
+        print(f"  B={B:4d}: {reached}/{len(oc)} goals  {oc}")
     return outcomes
+
+
+def main_device(batch_sizes=(1, 8, 32, 128), N=32, goals=None,
+                goal_timeout=None, control_dt=0.002, seed=0, viz=None,
+                save=None):
+    """Reference-scale acceptance runs via the on-device goals rollout."""
+    import jax
+    import jax.numpy as jnp
+
+    from gato_tpu.api.mpc import add_pendulum
+    from gato_tpu.api.rollout import closed_loop_rollout_goals
+    from gato_tpu.ops.cost import CostParams
+    from gato_tpu.robots.model import load_robot
+    from gato_tpu.solver.types import BSQPSettings, HyperParams
+
+    goals = goals or PICKPLACE_DEFAULT_GOALS
+    goal_timeout = goal_timeout or PICKPLACE_MPC_DEFAULTS["goal_timeout"]
+    p = PICKPLACE_SOLVER_PARAMS
+    pend = PENDULUM_DEFAULT_PARAMS
+    dt = 0.03125
+
+    model = load_robot("iiwa14")
+    sim_model = add_pendulum(model, mass=pend["mass"], length=pend["length"])
+    nq, nq_s, nv_s = model.nq, sim_model.nq, sim_model.nv
+    x_sim0 = np.zeros(nq_s + nv_s, np.float32)
+    x_sim0[nq:nq + 3] = pend["initial_angle"]
+
+    settings = BSQPSettings(N=N, max_sqp_iters=p["max_sqp_iters"],
+                            max_pcg_iters=p["max_pcg_iters"],
+                            kkt_tol=p["kkt_tol"])
+    cp = CostParams.create(q_cost=p["q_cost"], qd_cost=p["qd_cost"],
+                           u_cost=p["u_cost"], N_cost=p["N_cost"],
+                           q_lim_cost=p["q_lim_cost"])
+    goals_j = jnp.asarray(np.asarray(goals, np.float32))
+    n_steps = int(np.ceil(goal_timeout * len(goals) / control_dt)) + 2
+
+    results = {}
+    for B in batch_sizes:
+        print(f"\n=== device-loop batch {B}, N={N}, pendulum "
+              f"{pend['mass']} kg, {n_steps} cycles ===", flush=True)
+        hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"],
+                                pcg_tol=p["pcg_tol"])
+        xs, ees, dists, gidx, bests, oc, rt = closed_loop_rollout_goals(
+            model, sim_model, settings, cp, hp, jnp.asarray(x_sim0),
+            goals_j, jnp.float32(dt), jnp.float32(control_dt),
+            jax.random.PRNGKey(seed), batch_size=B, n_steps=n_steps,
+            goal_timeout=float(goal_timeout),
+            goal_threshold=float(PICKPLACE_MPC_DEFAULTS["goal_threshold"]),
+            velocity_threshold=float(
+                PICKPLACE_MPC_DEFAULTS["velocity_threshold"]),
+            sim_substeps=2, pendulum_damping=float(pend["damping"]))
+        oc = np.asarray(oc)
+        rt = np.asarray(rt)
+        names = {0: "not_reached", 1: "reached", 2: "timeout"}
+        outc = [names[int(c)] for c in oc]
+        reached = int((oc == 1).sum())
+        results[str(B)] = {
+            "goal_outcomes": outc,
+            "goal_reached_times": [round(float(t), 3) if t >= 0 else None
+                                   for t in rt],
+            "goals_reached": reached,
+            "final_dist_m": round(float(np.asarray(dists)[-1]), 4),
+        }
+        print(f"  B={B:4d}: {reached}/{len(goals)} goals  {outc}", flush=True)
+        if viz:
+            from gato_tpu.utils.viz import plot_rollout
+            qs = np.asarray(xs)[:, :nq_s]
+            out = viz.replace(".png", f"_N{N}_B{B}.png")
+            plot_rollout(sim_model, qs[:: max(1, len(qs) // 120)],
+                         ref=np.asarray(goals, np.float32), path=out)
+            print(f"  viz -> {out}")
+
+    if save:
+        rec = {}
+        if os.path.exists(save):
+            with open(save) as f:
+                rec = json.load(f)
+        import jax
+        rec.setdefault("meta", {})
+        rec["meta"]["workload"] = (
+            "iiwa14 + 15 kg pendulum payload (sim model only), 5-goal "
+            "pick-and-place sequence, PICKPLACE params (5 SQP iters), "
+            "dt=0.03125, control_dt=%g, sphere ForceEstimator hypotheses; "
+            "outcomes per mpc_controller.py:509-525" % control_dt)
+        for B, r in results.items():
+            r["backend"] = jax.default_backend()
+            rec[f"N{N}_B{B}"] = r
+        with open(save, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        print(f"saved -> {save}")
+    return results
 
 
 if __name__ == "__main__":
@@ -58,5 +169,17 @@ if __name__ == "__main__":
     ap.add_argument("--N", type=int, default=32)
     ap.add_argument("--viz", default=None,
                     help="write rollout skeleton PNGs here (e.g. pp.png)")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="run the on-device goals rollout (reference-scale "
+                         "cells; records PICKPLACE_RESULTS.json-style rows)")
+    ap.add_argument("--control-dt", type=float, default=0.002)
+    ap.add_argument("--goal-timeout", type=float, default=None)
+    ap.add_argument("--save", default=None)
     args = ap.parse_args()
-    main(tuple(args.batch_sizes), args.N, viz=args.viz)
+    if args.device_loop:
+        main_device(tuple(args.batch_sizes), args.N, viz=args.viz,
+                    control_dt=args.control_dt,
+                    goal_timeout=args.goal_timeout, save=args.save)
+    else:
+        main(tuple(args.batch_sizes), args.N,
+             goal_timeout=args.goal_timeout, viz=args.viz)

@@ -201,10 +201,21 @@ class MPC_GATO:
         else:
             self.force_estimator = None
 
-        # jitted simulator step specialized per sim model
+        # jitted simulator step specialized per sim model; `substeps` static
+        # so a whole constant-control span is ONE dispatch (each host->device
+        # hop on this image's tunneled runtime costs ~25 ms)
         self._sim_step = jax.jit(
-            lambda x, u, h: rk4_step(self.sim_model, x, u, h,
-                                     f_ext_world=self._sim_fext)
+            lambda x, u, h, substeps=1: rk4_step(self.sim_model, x, u, h,
+                                                 f_ext_world=self._sim_fext,
+                                                 substeps=substeps),
+            static_argnames=("substeps",),
+        )
+        # one dispatch for the whole hypothesis batch (instead of B eager
+        # FK transforms per cycle)
+        self._wrench_tf_batch = jax.jit(
+            lambda q, W: jax.vmap(
+                lambda w: world_wrench_to_ee_frame(self.solver_model, q, w)
+            )(W)
         )
 
     # ---- helpers ----
@@ -246,9 +257,9 @@ class MPC_GATO:
             return
         else:
             batch = self.force_estimator.generate_batch()
-        out = np.zeros_like(batch)
-        for i in range(self.batch_size):
-            out[i] = self.transform_force_to_gato_frame(q, batch[i])
+        out = np.asarray(self._wrench_tf_batch(
+            jnp.asarray(q[: self.nq_robot], jnp.float32),
+            jnp.asarray(batch, jnp.float32)))
         self.solver.set_f_ext_B(out)
 
     def transform_force_to_gato_frame(self, q, f_world):
@@ -298,14 +309,29 @@ class MPC_GATO:
                 np.tile(x_curr, (self.batch_size, 1)), ee_g_batch, XU_batch)
 
     def _simulate(self, xsim, XU_best, timestep, sim_dt):
-        """Advance the sim by `timestep`, stepping controls along the plan."""
+        """Advance the sim by `timestep`, stepping controls along the plan.
+
+        Consecutive substeps that apply the SAME plan control are batched
+        into one jitted dispatch (static substep count): on this image's
+        tunneled TPU each dispatch costs ~25 ms, so per-substep stepping
+        dominated the host loop. Pendulum-damping torques are refreshed per
+        dispatch group (the on-device rollouts hold them constant per cycle,
+        api/rollout.py)."""
         nsteps = max(1, int(round(timestep / sim_dt)))
-        for i in range(nsteps):
+        i = 0
+        while i < nsteps:
             offset = int(i / (self.dt / sim_dt))
+            j = i + 1
+            while (j < nsteps and int(j / (self.dt / sim_dt)) == offset):
+                j += 1
             u_idx = self.nx + (self.nx + self.nu) * min(offset, self.N - 1)
             u = jnp.asarray(XU_best[u_idx: u_idx + self.nu])
+            # rk4_step integrates `dt` total over `substeps` sub-intervals:
+            # a group of (j - i) substeps advances (j - i) * sim_dt
             xsim = self._sim_step(xsim, self._sim_control(u, xsim),
-                                  jnp.float32(sim_dt))
+                                  jnp.float32((j - i) * sim_dt),
+                                  substeps=j - i)
+            i = j
         return xsim, nsteps * sim_dt
 
     # ---- main entry points ----

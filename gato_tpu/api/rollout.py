@@ -139,6 +139,187 @@ def closed_loop_rollout(
     return xs, ees, us
 
 
+@partial(jax.jit, static_argnames=("settings", "batch_size", "n_steps",
+                                   "sim_substeps", "pendulum_damping",
+                                   "goal_timeout", "goal_threshold",
+                                   "velocity_threshold", "initial_radius"))
+def closed_loop_rollout_goals(
+    model: RobotModel,          # solver plant (robot only)
+    sim_model: RobotModel,      # simulation plant (e.g. pendulum-augmented)
+    settings: BSQPSettings,
+    cp: CostParams,
+    hp: HyperParams,
+    x_sim0,                     # (nx_sim,) initial simulator state
+    goals,                      # (G, 3) EE waypoint sequence
+    dt,                         # solver discretization timestep
+    control_dt,                 # seconds simulated per MPC cycle
+    key,                        # PRNG key for the estimator's rotations
+    batch_size: int,
+    n_steps: int,               # scan length; >= goal_timeout*G/control_dt
+                                # guarantees every goal resolves in-scan
+    goal_timeout: float = 5.0,
+    goal_threshold: float = 0.05,
+    velocity_threshold: float = 1.0,
+    sim_substeps: int = 2,
+    pendulum_damping: float | None = None,
+    initial_radius: float = 5.0,
+):
+    """Goal-sequence (pick-and-place) MPC entirely on device: the host
+    loop of MPC_GATO.run_mpc_goals (api/mpc.py, the reference's
+    mpc_controller.py:361-599) as ONE jitted lax.scan — goal switching on
+    reached/timeout, the sphere-search force estimator, best-hypothesis
+    selection and warm-start carry all inside the scan. Semantics mirror the
+    host loop cycle for cycle: simulate under the current best plan's first
+    control, measure, test reached (dist < goal_threshold AND |qd|_1 <
+    velocity_threshold) / timeout, advance the goal, generate hypotheses
+    from the estimator state, solve, score the fresh hypothesis batch on the
+    one-step transition just observed (solver.sim_forward's integrator,
+    mpc_controller.py:294-309), select, update the estimator
+    (alpha=0.6, beta=0.5; radius in [2, 20], smoothing 0.5 — the MPC_GATO
+    pickplace configuration).
+
+    Returns (x_sim traj (n_steps, nx_sim), ee (n_steps, 3), dist-to-goal
+    (n_steps,), goal index per cycle (n_steps,), best lane per cycle
+    (n_steps,), outcomes (G,) int32 [0 pending / 1 reached / 2 timeout],
+    reached_times (G,) [-1 if not reached])."""
+    from .common import world_wrench_to_ee_frame
+    from .force_estimator_device import fe_generate, fe_init, fe_update, \
+        fibonacci_sphere
+
+    B = batch_size
+    N = settings.N
+    G = goals.shape[0]
+    nq, nx, nu = model.nq, model.nx, model.nu
+    nq_s = sim_model.nq
+
+    def robot_state(x_sim):
+        return jnp.concatenate([x_sim[:nq], x_sim[nq_s:nq_s + nq]])
+
+    def ee_transform(q, W):
+        return jax.vmap(lambda w: world_wrench_to_ee_frame(model, q, w))(W)
+
+    x0 = robot_state(x_sim0)
+    X = jnp.tile(x0, (B, N, 1))
+    U = jnp.zeros((B, N - 1, nu), x0.dtype)
+    lam = jnp.zeros((B, N, nx), x0.dtype)
+    h = control_dt / sim_substeps
+
+    use_est = B > 3
+    dirs = jnp.asarray(fibonacci_sphere(max(B - 3, 0)))
+    fe_state = fe_init(initial_radius)
+
+    def ref_for(goal):
+        return jnp.broadcast_to(goal[None, None, :], (B, N, 3))
+
+    def hyps(fe_state, q):
+        if use_est:
+            W = fe_generate(fe_state, dirs)
+        else:
+            W = jnp.zeros((B, 6), x0.dtype)
+        return W, ee_transform(q, W)
+
+    # warm-up solve at goal 0 (the host loop's pre-loop solve,
+    # mpc_controller.py:424-428)
+    W0, batch0 = hyps(fe_state, x0[:nq])
+    Xo, Uo, lam, _, _ = solve_batched(
+        model, settings, cp, hp, X, U, lam, jnp.tile(x0, (B, 1)),
+        ref_for(goals[0]), batch0, dt)
+    X = jnp.tile(Xo[0][None], (B, 1, 1))
+    U = jnp.tile(Uo[0][None], (B, 1, 1))
+
+    if jax.default_backend() == "tpu":
+        def sim_adv(x_sim, u_sim):
+            def sub(x, _):
+                return rk4_step_batched_pallas(
+                    sim_model, x[None], u_sim[None], h)[0], None
+            return jax.lax.scan(sub, x_sim, None, length=sim_substeps)[0]
+    else:
+        def sim_adv(x_sim, u_sim):
+            def sub(x, _):
+                return _rk4(sim_model, x, u_sim, h), None
+            return jax.lax.scan(sub, x_sim, None, length=sim_substeps)[0]
+
+    def body(carry, _):
+        (x_sim, X, U, lam, fe_state, key, goal_idx, goal_start, t,
+         outcomes, reached_t, done) = carry
+
+        x_last = robot_state(x_sim)
+        u_last = U[0, 0]
+        if pendulum_damping is not None:
+            qd_p = x_sim[nq_s + nq:]
+            u_sim = jnp.concatenate([u_last, -pendulum_damping * qd_p])
+        else:
+            u_sim = u_last
+        x_sim = sim_adv(x_sim, u_sim)
+        t = t + control_dt
+        x_cur = robot_state(x_sim)
+
+        _, ps = fk(model, x_cur[:nq])
+        ee = ps[-1]
+        goal = goals[goal_idx]
+        dist = jnp.linalg.norm(ee - goal)
+        vel = jnp.sum(jnp.abs(x_cur[nq:]))
+        reached = jnp.logical_and(dist < goal_threshold,
+                                  vel < velocity_threshold)
+        timeout = (t - goal_start) >= goal_timeout
+        fire = jnp.logical_and(jnp.logical_or(reached, timeout),
+                               jnp.logical_not(done))
+        code = jnp.where(reached, 1, 2).astype(jnp.int32)
+        outcomes = outcomes.at[goal_idx].set(
+            jnp.where(fire, code, outcomes[goal_idx]))
+        reached_t = reached_t.at[goal_idx].set(
+            jnp.where(jnp.logical_and(fire, reached), t,
+                      reached_t[goal_idx]))
+        goal_idx = jnp.where(fire, goal_idx + 1, goal_idx)
+        done = jnp.logical_or(done, goal_idx >= G)
+        goal_idx = jnp.clip(goal_idx, 0, G - 1)
+        goal_start = jnp.where(fire, t, goal_start)
+        goal = goals[goal_idx]
+
+        key, sub = jax.random.split(key)
+        W, batch = hyps(fe_state, x_cur[:nq])
+        x_s = jnp.tile(x_cur, (B, 1))
+        X = X.at[:, 0, :].set(x_s)
+        Xo, Uo, lam, _, _ = solve_batched(
+            model, settings, cp, hp, X, U, lam, x_s, ref_for(goal),
+            batch, dt)
+
+        if use_est:
+            # score the fresh hypothesis batch on the transition just
+            # observed, exactly as the host loop's evaluate_best_trajectory
+            # does with solver.sim_forward (one integrator step over the
+            # cycle timestep)
+            pred = jax.vmap(
+                lambda fe: sim_step(model, x_last, u_last, control_dt,
+                                    f_ext=fe,
+                                    integrator_type=settings.integrator_type)
+            )(batch)
+            errs = jnp.linalg.norm(pred - x_cur[None, :], axis=1)
+            errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
+            best = jnp.argmin(errs)
+            fe_state = fe_update(fe_state, dirs, best, errs,
+                                 jax.random.uniform(sub, (3,)),
+                                 alpha=0.6, beta=0.5,
+                                 min_radius=2.0, max_radius=20.0,
+                                 smoothing_factor=0.5)
+        else:
+            best = jnp.int32(0)
+
+        X = jnp.tile(Xo[best][None], (B, 1, 1))
+        U = jnp.tile(Uo[best][None], (B, 1, 1))
+        out = (x_sim, ee, dist, goal_idx, best)
+        return (x_sim, X, U, lam, fe_state, key, goal_idx, goal_start, t,
+                outcomes, reached_t, done), out
+
+    carry0 = (x_sim0, X, U, lam, fe_state, key,
+              jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+              jnp.zeros(G, jnp.int32), jnp.full(G, -1.0, jnp.float32),
+              jnp.asarray(False))
+    carry, (xs, ees, dists, gidx, bests) = jax.lax.scan(
+        body, carry0, None, length=n_steps)
+    return xs, ees, dists, gidx, bests, carry[9], carry[10]
+
+
 @partial(jax.jit, static_argnames=("settings", "batch_size", "sim_substeps",
                                    "estimator"))
 def closed_loop_rollout_estimator(

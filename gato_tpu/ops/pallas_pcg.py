@@ -110,6 +110,13 @@ def _dot(a, b, valid, seg=None):
     # junk into the sentinel instead of 0
     acc = jnp.where(jnp.abs(acc) <= 1e30, acc, 1e30)
     acc = acc * valid
+    return _segsum_lanes(acc, seg)
+
+
+def _segsum_lanes(acc, seg=None):
+    """Per-segment sum over lanes, broadcast back over each segment's lanes
+    (one exact-f32 matmul with the block-diagonal ones matrix; see _dot's
+    docstring for why a matmul and not jnp.sum + broadcast)."""
     L = acc.shape[1]
     s = seg if seg is not None else L
     i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -135,14 +142,21 @@ def pcg_channels(nx, max_iters, S_main, S_lower, P_main, P_lower, gamma,
     p = list(z)
     rho = _dot(r, z, valid, seg)
     rho_init = jnp.abs(rho)
-    # a problem whose warm-started duals hold NaN/inf (a diverged previous
-    # solve) shows up as a sentinel-clamped huge rho (_dot's NaN
-    # containment). Don't iterate on it — the Krylov updates would just
-    # churn NaN — but report max_iters so the SQP driver reads the lane as
-    # NOT converged (the reference's |rho|<tol exit is False for its NaN rho
-    # and burns all max_iters the same way, pcg.cuh:85-92). 1e29 is far
-    # above any legitimate initial residual and far below the 1e30 sentinel.
-    dead0 = (skip < 0.5) & (jnp.abs(rho) >= 1e29)
+    # a problem whose warm-started duals / Schur system hold NaN/inf (a
+    # diverged previous solve) must not iterate — the Krylov updates would
+    # just churn NaN — but must report max_iters so the SQP driver reads the
+    # lane as NOT converged (the reference's |rho|<tol exit is False for its
+    # NaN rho and burns all max_iters the same way, pcg.cuh:85-92). Detect
+    # it with an exact per-problem non-finite indicator over the initial
+    # residual/preconditioned channels (0/1 counts, no overflow), NOT by
+    # magnitude: a finite-but-enormous warm-start rho is legitimate and the
+    # reference's loop would iterate on it (round-4 advisor note).
+    bad = None
+    for ch in r + z:
+        nb = 1.0 - jnp.isfinite(ch).astype(rho.dtype)
+        bad = nb if bad is None else bad + nb
+    bad = _segsum_lanes(bad * valid, seg)
+    dead0 = (skip < 0.5) & (bad > 0.5)
     # active/converged masks stay f32 0/1: boolean vectors cannot cross the
     # scf.while carry boundary in Mosaic
     active = ((skip < 0.5) & ~dead0

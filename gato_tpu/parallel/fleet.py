@@ -84,21 +84,27 @@ def fleet_report(members, stats_list):
         merits = np.asarray(st.final_merit, np.float64)
         safe = np.where(np.isfinite(merits), merits, np.inf)
         best = int(np.argmin(safe))
+        # strict-JSON safety: with every lane dead the best merit is +inf,
+        # and json.dump would emit the non-standard token Infinity — report
+        # null instead (the lane index stays, flagged dead)
+        best_finite = np.isfinite(safe[best])
         per_member[m.name] = {
             "lanes": int(merits.shape[0]),
             "converged": int(np.asarray(st.kkt_converged).sum()),
             "best_lane": best,
-            "best_merit": float(safe[best]),
+            "best_merit": float(safe[best]) if best_finite else None,
+            "all_lanes_dead": not bool(best_finite),
             "sqp_iters_mean": float(np.asarray(st.sqp_iters).mean()),
         }
         all_merits.append(safe)
         owners.extend((m.name, i) for i in range(merits.shape[0]))
     merged = np.concatenate(all_merits)
     win = int(np.argmin(merged))
+    win_merit = float(merged[win]) if np.isfinite(merged[win]) else None
     return {
         "members": per_member,
         "total_lanes": int(merged.shape[0]),
         "total_converged": sum(v["converged"] for v in per_member.values()),
         "winner": {"member": owners[win][0], "lane": owners[win][1],
-                   "merit": float(merged[win])},
+                   "merit": win_merit},
     }

@@ -262,8 +262,11 @@ def solve_batched(
         # failure with the trajectory untouched — the reference's behavior
         # for a lane whose Krylov solve blew up (its merits go NaN, NaN <
         # merit is false, line_search.cuh:59).
-        step_ok = jnp.isfinite(
-            jnp.sum(dZX, axis=(1, 2)) + jnp.sum(dZU, axis=(1, 2)))
+        # exact reduction, not isfinite(sum(...)): a large but fully finite
+        # step can overflow the f32 sum to inf and a legitimate (if doomed)
+        # line-search trial would be falsely forced into rejection
+        step_ok = jnp.logical_and(jnp.isfinite(dZX).all(axis=(1, 2)),
+                                  jnp.isfinite(dZU).all(axis=(1, 2)))
         dZX = jnp.where(step_ok[:, None, None], dZX, 0.0)
         dZU = jnp.where(step_ok[:, None, None], dZU, 0.0)
         # Per-lane iteration count: +1 while the lane is not yet converged,

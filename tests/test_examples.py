@@ -42,7 +42,26 @@ def test_pickplace_smoke():
     outcomes = pickplace.main(batch_sizes=(4,), N=8,
                               goals=[[0.5, 0.0, 0.6]], goal_timeout=0.05)
     assert 4 in outcomes
-    assert all(o in ("reached", "timeout") for o in outcomes[4])
+    assert all(o in ("reached", "timeout")
+               for o in outcomes[4]["goal_outcomes"])
+
+
+def test_pickplace_device_loop_smoke(tmp_path):
+    """The on-device goals rollout resolves every goal in-scan and agrees
+    with the host loop's outcome vocabulary (reached/timeout)."""
+    import pickplace
+
+    save = str(tmp_path / "pp.json")
+    res = pickplace.main_device(batch_sizes=(4,), N=8,
+                                goals=[[0.5, 0.0, 0.6]], goal_timeout=0.12,
+                                control_dt=0.01, save=save)
+    assert "4" in res
+    assert all(o in ("reached", "timeout")
+               for o in res["4"]["goal_outcomes"])
+    import json
+    with open(save) as f:
+        rec = json.load(f)
+    assert "N8_B4" in rec
 
 
 def test_hparam_batch_smoke():

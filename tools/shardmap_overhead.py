@@ -87,34 +87,57 @@ def measure(N, B, sharded: bool):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cells", default="32:32,32:512")
+    ap.add_argument("--cells", default="8:32,8:512,32:32,32:512,128:32,128:512")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="independent measurements per arm: the runtime's "
+                         "sustained rate varies ~1.5x run to run, so a "
+                         "single pair cannot bound a few-percent overhead; "
+                         "min and median over repeats are both recorded")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    import statistics
 
     import jax
 
     rows = {}
     for cell in args.cells.split(","):
         N, B = map(int, cell.split(":"))
-        t_plain = measure(N, B, sharded=False)
-        t_shard = measure(N, B, sharded=True)
+        # interleave the arms so slow drift in the runtime's sustained rate
+        # biases neither arm
+        plain, shard = [], []
+        for _ in range(args.repeats):
+            plain.append(measure(N, B, sharded=False))
+            shard.append(measure(N, B, sharded=True))
+        p_min, s_min = min(plain), min(shard)
+        p_med, s_med = statistics.median(plain), statistics.median(shard)
         rows[f"N{N}_B{B}"] = {
-            "plain_us": round(t_plain * 1e6, 1),
-            "shardmap1_us": round(t_shard * 1e6, 1),
-            "overhead_pct": round(100.0 * (t_shard - t_plain) / t_plain, 1),
+            "plain_us": [round(t * 1e6, 1) for t in plain],
+            "shardmap1_us": [round(t * 1e6, 1) for t in shard],
+            "plain_min_us": round(p_min * 1e6, 1),
+            "shardmap1_min_us": round(s_min * 1e6, 1),
+            "overhead_pct_min": round(100.0 * (s_min - p_min) / p_min, 1),
+            "overhead_pct_median": round(100.0 * (s_med - p_med) / p_med, 1),
         }
-        print(f"N={N} B={B}: plain {t_plain*1e6:.1f}us  "
-              f"shard_map(1) {t_shard*1e6:.1f}us  "
-              f"overhead {rows[f'N{N}_B{B}']['overhead_pct']}%", flush=True)
+        r = rows[f"N{N}_B{B}"]
+        print(f"N={N} B={B}: plain min {p_min*1e6:.1f}us  "
+              f"shard_map(1) min {s_min*1e6:.1f}us  "
+              f"overhead min {r['overhead_pct_min']}% / "
+              f"median {r['overhead_pct_median']}%", flush=True)
 
     record = {
         "meta": {
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "repeats": args.repeats,
             "note": "shard_map-over-mesh(1) vs plain jit, chained "
-                    "closed-loop device timing. Bounds the multichip "
-                    "program's per-chip overhead (chained per-iteration "
-                    "megakernel + scalar psum exit); NOT hardware scaling "
+                    "closed-loop device timing, arms interleaved, "
+                    ">=3 repeats each (min and median recorded; the "
+                    "runtime's sustained rate varies ~1.5x run to run, so "
+                    "negative cells are measurement noise, not a bound). "
+                    "Bounds the multichip program's per-chip overhead "
+                    "(chained per-iteration megakernel + one scalar psum "
+                    "AllReduce per SQP iteration); NOT hardware scaling "
                     "(one real chip in this image).",
         },
         "cells": rows,
