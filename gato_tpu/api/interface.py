@@ -139,7 +139,8 @@ class BSQP:
 
         self.XU_B = np.zeros((B, self.N * (self.nx + self.nu) - self.nu),
                              dtype=self._np_dtype)
-        self.stats = {}
+        self._stats = {}
+        self._stats_raw = None
         # sustained on-device per-solve time (us), set by
         # calibrate_device_time(); wall-clock sqp_time_us on this runtime
         # includes ~25 ms of tunnel latency and cannot time sub-ms solves
@@ -159,14 +160,20 @@ class BSQP:
         return jnp.asarray(X, self._dtype), jnp.asarray(U, self._dtype)
 
     def _flatten(self, X, U):
+        # concatenate ON DEVICE and pull once: each separate device->host
+        # read on this image's tunneled runtime costs ~25 ms, and the host
+        # MPC loop calls this every cycle
         B, N, nx, nu = self.batch_size, self.N, self.nx, self.nu
-        X = np.asarray(X, self._np_dtype)
-        U = np.asarray(U, self._np_dtype)
-        full = np.concatenate(
-            [X, np.concatenate([U, np.zeros((B, 1, nu), self._np_dtype)], axis=1)],
+        X = jnp.asarray(X)
+        U = jnp.asarray(U)
+        full = jnp.concatenate(
+            [X, jnp.concatenate([U, jnp.zeros((B, 1, nu), X.dtype)], axis=1)],
             axis=2,
         ).reshape(B, N * (nx + nu))
-        return full[:, : N * (nx + nu) - nu]
+        # np.array (owned copy), not np.asarray: the latter is a READ-ONLY
+        # zero-copy view of the device buffer on CPU backends, and callers
+        # (the host MPC loop) mutate the returned warm start in place
+        return np.array(full[:, : N * (nx + nu) - nu], self._np_dtype)
 
     # ---- main entry points ----
 
@@ -195,12 +202,32 @@ class BSQP:
         self.hp = hp
         self.XU_B = self._flatten(Xo, Uo)
 
+        # stats materialization is LAZY: pulling the ~8 per-iteration stat
+        # arrays costs a ~25 ms tunnel read EACH on this runtime, and the
+        # host MPC loop only reads stats when track_full_stats is set
+        self._stats_raw = (st, solve_time_us)
+        return self.XU_B, solve_time_us
+
+    @property
+    def stats(self):
+        if self._stats_raw is not None:
+            st, solve_time_us = self._stats_raw
+            self._stats_raw = None
+            self._stats = self._materialize_stats(st, solve_time_us)
+        return self._stats
+
+    @stats.setter
+    def stats(self, value):
+        self._stats = value
+        self._stats_raw = None
+
+    def _materialize_stats(self, st, solve_time_us):
         n_run = int(st.num_iters_run)
         pcg_iters = np.asarray(st.pcg_iters)[:n_run]
         min_merit = np.asarray(st.ls_min_merit)[:n_run]
         step_size = np.asarray(st.ls_step_size)[:n_run]
         initial_merit = np.asarray(st.initial_merit)
-        self.stats = {
+        stats = {
             "sqp_time_us": solve_time_us,
             "sqp_time_us_device": self.device_solve_time_us,
             "sqp_iters": np.asarray(st.sqp_iters, np.int32),
@@ -219,14 +246,14 @@ class BSQP:
             "step_size": step_size.astype(np.float32),
         }
         best_per_iter = min_merit.min(axis=1) if min_merit.size else np.array([], np.float32)
-        self.stats["best_merit_per_iter"] = best_per_iter
-        self.stats["best_merit_iter1"] = float(best_per_iter[0]) if best_per_iter.size else float("nan")
-        denom = self.stats["best_initial_merit"]
+        stats["best_merit_per_iter"] = best_per_iter
+        stats["best_merit_iter1"] = float(best_per_iter[0]) if best_per_iter.size else float("nan")
+        denom = stats["best_initial_merit"]
         if np.size(denom) and denom:
-            self.stats["best_merit_per_iter_normalized"] = best_per_iter / float(denom)
+            stats["best_merit_per_iter_normalized"] = best_per_iter / float(denom)
         else:
-            self.stats["best_merit_per_iter_normalized"] = best_per_iter
-        return self.XU_B, solve_time_us
+            stats["best_merit_per_iter_normalized"] = best_per_iter
+        return stats
 
     def calibrate_device_time(self, xcur_B, eepos_goals_B, XU_B=None):
         """Measure the sustained per-solve DEVICE time for this
@@ -283,9 +310,13 @@ class BSQP:
 
     def ee_pos(self, q):
         """EE position via the framework's own FK (the reference used
-        Pinocchio here, interface.py:212-214)."""
+        Pinocchio here, interface.py:212-214). Jitted per instance: eager FK
+        costs ~100 dispatches per call on the tunneled TPU runtime."""
+        if not hasattr(self, "_ee_pos_jit"):
+            self._ee_pos_jit = jax.jit(
+                lambda q: _ee_position(self.model, q)[:3])
         q = jnp.asarray(np.asarray(q, self._np_dtype).reshape(self.nq))
-        return np.asarray(_ee_position(self.model, q)[:3])
+        return np.asarray(self._ee_pos_jit(q))
 
     # ---- state management (interface.py:216-234, bsqp.cuh:63-89) ----
 

@@ -229,9 +229,12 @@ class MPC_GATO:
         return jnp.concatenate([u_robot, -damping * qd_pend])
 
     def _robot_state(self, xsim):
-        q = xsim[: self.nq_robot]
-        dq = xsim[self.nq_sim: self.nq_sim + self.nv_robot]
-        return np.concatenate([np.asarray(q), np.asarray(dq)])
+        # one device->host read, then slice on host (each read costs ~25 ms
+        # on this image's tunneled runtime)
+        x = np.asarray(xsim)
+        q = x[: self.nq_robot]
+        dq = x[self.nq_sim: self.nq_sim + self.nv_robot]
+        return np.concatenate([q, dq])
 
     def _initial_sim_state(self, x_start):
         if not self.has_pendulum:

@@ -383,11 +383,14 @@ def solve_batched(
     return state["X"], state["U"], state["lam"], hp_out, stats
 
 
+@partial(jax.jit, static_argnames=("integrator_type",))
 def sim_forward_batched(model: RobotModel, x, u, f_ext_B, dt,
                         integrator_type: int = 2):
     """One dynamics step of a shared (x, u) under each lane's wrench
     hypothesis — the force-estimator scoring path
-    (gato/bsqp/kernels/sim.cuh:14-86). Returns (B, nx)."""
+    (gato/bsqp/kernels/sim.cuh:14-86). Returns (B, nx). Jitted: called
+    un-jitted it dispatches hundreds of eager ops per call, which costs
+    seconds per MPC cycle on this image's tunneled TPU runtime."""
     return jax.vmap(
         lambda fe: sim_step(model, x, u, dt, fe, integrator_type)
     )(f_ext_B)
