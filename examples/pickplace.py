@@ -29,7 +29,7 @@ from gato_tpu.api.mpc import MPC_GATO
 
 
 def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None,
-         viz=None):
+         dt=0.03125, viz=None):
     goals = goals or PICKPLACE_DEFAULT_GOALS
     x0 = np.zeros(14, np.float32)
 
@@ -38,7 +38,7 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None,
         print(f"\n=== batch {B}, pendulum "
               f"{PENDULUM_DEFAULT_PARAMS['mass']} kg ===")
         mpc = MPC_GATO(
-            plant_type="iiwa14", N=N, dt=0.03125, batch_size=B,
+            plant_type="iiwa14", N=N, dt=dt, batch_size=B,
             pendulum_config=PENDULUM_DEFAULT_PARAMS,
             solver_params=PICKPLACE_SOLVER_PARAMS,
             control_dt=0.002,  # ~the reference's measured solve times
@@ -73,8 +73,8 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None,
 
 
 def main_device(batch_sizes=(1, 8, 32, 128), N=32, goals=None,
-                goal_timeout=None, control_dt=0.002, seed=0, viz=None,
-                save=None):
+                goal_timeout=None, control_dt=0.002, dt=0.03125, seed=0,
+                viz=None, save=None):
     """Reference-scale acceptance runs via the on-device goals rollout."""
     import jax
     import jax.numpy as jnp
@@ -89,7 +89,9 @@ def main_device(batch_sizes=(1, 8, 32, 128), N=32, goals=None,
     goal_timeout = goal_timeout or PICKPLACE_MPC_DEFAULTS["goal_timeout"]
     p = PICKPLACE_SOLVER_PARAMS
     pend = PENDULUM_DEFAULT_PARAMS
-    dt = 0.03125
+    # dt=0.03125 N=32 gives the 1 s horizon of this repo's default cell;
+    # the reference notebook's own working point is N=16, dt=0.01
+    # (gato_pickplace.ipynb cell 1)
 
     model = load_robot("iiwa14")
     sim_model = add_pendulum(model, mass=pend["mass"], length=pend["length"])
@@ -154,9 +156,11 @@ def main_device(batch_sizes=(1, 8, 32, 128), N=32, goals=None,
             "pick-and-place sequence, PICKPLACE params (5 SQP iters), "
             "dt=0.03125, control_dt=%g, sphere ForceEstimator hypotheses; "
             "outcomes per mpc_controller.py:509-525" % control_dt)
+        suffix = "" if dt == 0.03125 else f"_dt{dt:g}"
         for B, r in results.items():
             r["backend"] = jax.default_backend()
-            rec[f"N{N}_B{B}"] = r
+            r["dt"] = dt
+            rec[f"N{N}_B{B}{suffix}"] = r
         with open(save, "w") as f:
             json.dump(rec, f, indent=1, sort_keys=True)
         print(f"saved -> {save}")
@@ -173,13 +177,16 @@ if __name__ == "__main__":
                     help="run the on-device goals rollout (reference-scale "
                          "cells; records PICKPLACE_RESULTS.json-style rows)")
     ap.add_argument("--control-dt", type=float, default=0.002)
+    ap.add_argument("--dt", type=float, default=0.03125,
+                    help="solver discretization (the reference notebook's "
+                         "own working point is --N 16 --dt 0.01)")
     ap.add_argument("--goal-timeout", type=float, default=None)
     ap.add_argument("--save", default=None)
     args = ap.parse_args()
     if args.device_loop:
         main_device(tuple(args.batch_sizes), args.N, viz=args.viz,
-                    control_dt=args.control_dt,
+                    control_dt=args.control_dt, dt=args.dt,
                     goal_timeout=args.goal_timeout, save=args.save)
     else:
         main(tuple(args.batch_sizes), args.N,
-             goal_timeout=args.goal_timeout, viz=args.viz)
+             goal_timeout=args.goal_timeout, dt=args.dt, viz=args.viz)
