@@ -4,6 +4,11 @@ and we compare the best-lane convergence against a single adaptive-rho solve,
 over a set of random EE goals (iiwa14, N=64 in the notebook; configurable)."""
 
 import argparse
+import os
+import sys
+
+# runnable without an editable install; never PYTHONPATH=. (CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp

@@ -24,4 +24,9 @@ run pickplace_n16 7200 python examples/pickplace.py --device-loop \
 run pickplace_host16 5400 python examples/pickplace.py \
     --batch-sizes 8 --N 16 --dt 0.01
 
+# hparam study at reference scale (failed in the 5a queue: missing sys.path
+# bootstrap, fixed since)
+run hparam 5400 python examples/hparam_batch.py --trials 50 \
+    --save examples/hparam_batch_results.json
+
 echo "round-5b queue done"
