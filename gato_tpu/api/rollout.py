@@ -142,7 +142,8 @@ def closed_loop_rollout(
 @partial(jax.jit, static_argnames=("settings", "batch_size", "n_steps",
                                    "sim_substeps", "pendulum_damping",
                                    "goal_timeout", "goal_threshold",
-                                   "velocity_threshold", "initial_radius"))
+                                   "velocity_threshold", "initial_radius",
+                                   "score_substeps"))
 def closed_loop_rollout_goals(
     model: RobotModel,          # solver plant (robot only)
     sim_model: RobotModel,      # simulation plant (e.g. pendulum-augmented)
@@ -163,6 +164,7 @@ def closed_loop_rollout_goals(
     sim_substeps: int = 2,
     pendulum_damping: float | None = None,
     initial_radius: float = 5.0,
+    score_substeps: int = 0,
 ):
     """Goal-sequence (pick-and-place) MPC entirely on device: the host
     loop of MPC_GATO.run_mpc_goals (api/mpc.py, the reference's
@@ -286,14 +288,27 @@ def closed_loop_rollout_goals(
 
         if use_est:
             # score the fresh hypothesis batch on the transition just
-            # observed, exactly as the host loop's evaluate_best_trajectory
-            # does with solver.sim_forward (one integrator step over the
-            # cycle timestep)
-            pred = jax.vmap(
-                lambda fe: sim_step(model, x_last, u_last, control_dt,
-                                    f_ext=fe,
-                                    integrator_type=settings.integrator_type)
-            )(batch)
+            # observed. score_substeps=0: exactly the host loop's
+            # evaluate_best_trajectory (one solver-integrator step over the
+            # cycle timestep, solver.sim_forward). score_substeps>0:
+            # RK4-substepped prediction with the plant's own integrator —
+            # the closed_loop_rollout_estimator treatment, which removes
+            # the one-step integrator-mismatch floor from the ranking
+            if score_substeps > 0:
+                hs = control_dt / score_substeps
+
+                def pred_one(fe):
+                    def sub(x, _):
+                        return _rk4(model, x, u_last, hs, f_ext=fe), None
+                    return jax.lax.scan(sub, x_last, None,
+                                        length=score_substeps)[0]
+                pred = jax.vmap(pred_one)(batch)
+            else:
+                pred = jax.vmap(
+                    lambda fe: sim_step(
+                        model, x_last, u_last, control_dt, f_ext=fe,
+                        integrator_type=settings.integrator_type)
+                )(batch)
             errs = jnp.linalg.norm(pred - x_cur[None, :], axis=1)
             errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
             best = jnp.argmin(errs)
@@ -307,7 +322,8 @@ def closed_loop_rollout_goals(
 
         X = jnp.tile(Xo[best][None], (B, 1, 1))
         U = jnp.tile(Uo[best][None], (B, 1, 1))
-        out = (x_sim, ee, dist, goal_idx, best)
+        out = (x_sim, ee, dist, goal_idx, best, fe_state.smoothed,
+               fe_state.radius)
         return (x_sim, X, U, lam, fe_state, key, goal_idx, goal_start, t,
                 outcomes, reached_t, done), out
 
@@ -315,9 +331,9 @@ def closed_loop_rollout_goals(
               jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
               jnp.zeros(G, jnp.int32), jnp.full(G, -1.0, jnp.float32),
               jnp.asarray(False))
-    carry, (xs, ees, dists, gidx, bests) = jax.lax.scan(
+    carry, (xs, ees, dists, gidx, bests, fests, radii) = jax.lax.scan(
         body, carry0, None, length=n_steps)
-    return xs, ees, dists, gidx, bests, carry[9], carry[10]
+    return xs, ees, dists, gidx, bests, carry[9], carry[10], fests, radii
 
 
 @partial(jax.jit, static_argnames=("settings", "batch_size", "sim_substeps",
