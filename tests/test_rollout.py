@@ -87,3 +87,42 @@ def test_rollout_phantom_wrench_lanes_dont_drive():
     assert np.isfinite(np.asarray(xs)).all()
     d = np.linalg.norm(np.asarray(ees) - np.asarray(goal), axis=1)
     assert d[-1] < 0.03
+
+
+def test_goals_rollout_outcome_semantics():
+    """closed_loop_rollout_goals mirrors run_mpc_goals' bookkeeping: a goal
+    at the current EE is 'reached' (code 1) almost immediately, a far goal
+    then runs out its per-goal budget and records 'timeout' (code 2), and
+    the reached time is recorded only for the reached goal."""
+    import jax
+
+    from gato_tpu.api.rollout import closed_loop_rollout_goals
+
+    model = load_robot("indy7")
+    N, B = 8, 1
+    st = BSQPSettings(N=N, max_sqp_iters=2, max_pcg_iters=40)
+    cp = CostParams.create(q_cost=2.0, qd_cost=1e-2, u_cost=2e-6,
+                           N_cost=50.0, q_lim_cost=0.01)
+    hp = HyperParams.create(B, rho=0.01, mu=10.0, pcg_tol=1e-4)
+    q0 = jnp.asarray([-1.0966, -0.099, 0.8313, -0.109, 0.497, 0.015],
+                     jnp.float32)
+    x0 = jnp.concatenate([q0, jnp.zeros(6, jnp.float32)])
+    ee0 = ee_position(model, q0)[:3]
+    # goal 0: where the arm already is; goal 1: far outside the workspace
+    goals = jnp.stack([ee0, ee0 + jnp.asarray([2.0, 2.0, 2.0], jnp.float32)])
+    control_dt, timeout = 0.01, 0.25
+    n_steps = int(2 * timeout / control_dt) + 2
+    out = closed_loop_rollout_goals(
+        model, model, st, cp, hp, x0, goals, jnp.float32(0.01),
+        jnp.float32(control_dt), jax.random.PRNGKey(0), batch_size=B,
+        n_steps=n_steps, goal_timeout=timeout, goal_threshold=0.05,
+        velocity_threshold=1.0, sim_substeps=2)
+    xs, ees, dists, gidx, bests, oc, rt, fests, radii = out
+    oc, rt = np.asarray(oc), np.asarray(rt)
+    assert oc[0] == 1, oc          # reached
+    assert oc[1] == 2, oc          # timeout
+    assert 0.0 < rt[0] <= timeout  # reached within its budget
+    assert rt[1] == -1.0           # never reached
+    # after both goals resolve, the goal index stays clamped at the last one
+    assert int(np.asarray(gidx)[-1]) == 1
+    assert np.isfinite(np.asarray(xs)).all()
