@@ -74,8 +74,15 @@ def main(batch_sizes=(1, 8, 32), N=32, goals=None, goal_timeout=None,
 
 def main_device(batch_sizes=(1, 8, 32, 128), N=32, goals=None,
                 goal_timeout=None, control_dt=0.002, dt=0.03125, seed=0,
-                score_substeps=2, viz=None, save=None):
-    """Reference-scale acceptance runs via the on-device goals rollout."""
+                score_substeps=2, viz=None, save=None, seeds=None):
+    """Reference-scale acceptance runs via the on-device goals rollout.
+
+    seeds: optional list of PRNG seeds per batch size. The estimator's
+    hypothesis rotations are seeded, so goal outcomes at B>3 are a
+    distribution, not a point — the sweep records every seed's outcome row
+    plus a per-B min/median/max summary (the jitted rollout is compiled
+    once per (N, B); extra seeds re-use it, so the sweep costs only device
+    time). B<=3 runs are deterministic (no estimator) and run once."""
     import jax
     import jax.numpy as jnp
 
@@ -109,41 +116,63 @@ def main_device(batch_sizes=(1, 8, 32, 128), N=32, goals=None,
     n_steps = int(np.ceil(goal_timeout * len(goals) / control_dt)) + 2
 
     results = {}
+    sweep = {}
     for B in batch_sizes:
-        print(f"\n=== device-loop batch {B}, N={N}, pendulum "
-              f"{pend['mass']} kg, {n_steps} cycles ===", flush=True)
-        hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"],
-                                pcg_tol=p["pcg_tol"])
-        xs, ees, dists, gidx, bests, oc, rt, fests, radii = \
-            closed_loop_rollout_goals(
-            model, sim_model, settings, cp, hp, jnp.asarray(x_sim0),
-            goals_j, jnp.float32(dt), jnp.float32(control_dt),
-            jax.random.PRNGKey(seed), batch_size=B, n_steps=n_steps,
-            goal_timeout=float(goal_timeout),
-            goal_threshold=float(PICKPLACE_MPC_DEFAULTS["goal_threshold"]),
-            velocity_threshold=float(
-                PICKPLACE_MPC_DEFAULTS["velocity_threshold"]),
-            sim_substeps=2, pendulum_damping=float(pend["damping"]),
-            # RK4-substepped hypothesis scoring (the plant's own integrator
-            # cadence): the host-faithful one-step score is noise-dominated
-            # at 2 ms cycles and large B (TPU A/B: B=128 2/5 -> 4/5 goals)
-            score_substeps=score_substeps)
-        oc = np.asarray(oc)
-        rt = np.asarray(rt)
-        names = {0: "not_reached", 1: "reached", 2: "timeout"}
-        outc = [names[int(c)] for c in oc]
-        reached = int((oc == 1).sum())
-        f_end = np.asarray(fests)[-1]
-        results[str(B)] = {
-            "goal_outcomes": outc,
-            "goal_reached_times": [round(float(t), 3) if t >= 0 else None
-                                   for t in rt],
-            "goals_reached": reached,
-            "final_dist_m": round(float(np.asarray(dists)[-1]), 4),
-            "score_substeps": score_substeps,
-            "force_estimate_end_N": [round(float(v), 1) for v in f_end[:3]],
-        }
-        print(f"  B={B:4d}: {reached}/{len(goals)} goals  {outc}", flush=True)
+        run_seeds = list(seeds) if (seeds and B > 3) else [seed]
+        per_seed = []
+        for s in run_seeds:
+            print(f"\n=== device-loop batch {B}, N={N}, seed {s}, pendulum "
+                  f"{pend['mass']} kg, {n_steps} cycles ===", flush=True)
+            hp = HyperParams.create(B, rho=p["rho"], mu=p["mu"],
+                                    pcg_tol=p["pcg_tol"])
+            xs, ees, dists, gidx, bests, oc, rt, fests, radii = \
+                closed_loop_rollout_goals(
+                model, sim_model, settings, cp, hp, jnp.asarray(x_sim0),
+                goals_j, jnp.float32(dt), jnp.float32(control_dt),
+                jax.random.PRNGKey(s), batch_size=B, n_steps=n_steps,
+                goal_timeout=float(goal_timeout),
+                goal_threshold=float(PICKPLACE_MPC_DEFAULTS["goal_threshold"]),
+                velocity_threshold=float(
+                    PICKPLACE_MPC_DEFAULTS["velocity_threshold"]),
+                sim_substeps=2, pendulum_damping=float(pend["damping"]),
+                # RK4-substepped hypothesis scoring (the plant's own
+                # integrator cadence): the host-faithful one-step score is
+                # noise-dominated at 2 ms cycles and large B (TPU A/B:
+                # B=128 2/5 -> 4/5 goals)
+                score_substeps=score_substeps)
+            oc = np.asarray(oc)
+            rt = np.asarray(rt)
+            names = {0: "not_reached", 1: "reached", 2: "timeout"}
+            outc = [names[int(c)] for c in oc]
+            reached = int((oc == 1).sum())
+            f_end = np.asarray(fests)[-1]
+            row = {
+                "goal_outcomes": outc,
+                "goal_reached_times": [round(float(t), 3) if t >= 0 else None
+                                       for t in rt],
+                "goals_reached": reached,
+                "final_dist_m": round(float(np.asarray(dists)[-1]), 4),
+                "score_substeps": score_substeps,
+                "seed": s,
+                "force_estimate_end_N": [round(float(v), 1)
+                                         for v in f_end[:3]],
+            }
+            per_seed.append(row)
+            if s == run_seeds[0]:
+                results[str(B)] = row
+            print(f"  B={B:4d} seed {s}: {reached}/{len(goals)} goals  "
+                  f"{outc}", flush=True)
+        if len(per_seed) > 1:
+            gs = sorted(r["goals_reached"] for r in per_seed)
+            sweep[str(B)] = {
+                "seeds": run_seeds,
+                "goals_reached_per_seed": [r["goals_reached"]
+                                           for r in per_seed],
+                "min": gs[0], "median": gs[len(gs) // 2], "max": gs[-1],
+                "rows": per_seed,
+            }
+            print(f"  B={B:4d} sweep: goals min/med/max = "
+                  f"{gs[0]}/{gs[len(gs)//2]}/{gs[-1]}", flush=True)
         if viz:
             from gato_tpu.utils.viz import plot_rollout
             qs = np.asarray(xs)[:, :nq_s]
@@ -178,6 +207,10 @@ def main_device(batch_sizes=(1, 8, 32, 128), N=32, goals=None,
             r["backend"] = jax.default_backend()
             r["dt"] = dt
             rec[f"N{N}_B{B}{suffix}"] = r
+        for B, s in sweep.items():
+            s["backend"] = jax.default_backend()
+            s["dt"] = dt
+            rec[f"N{N}_B{B}{suffix}_seed_sweep"] = s
         with open(save, "w") as f:
             json.dump(rec, f, indent=1, sort_keys=True)
         print(f"saved -> {save}")
@@ -201,13 +234,18 @@ if __name__ == "__main__":
     ap.add_argument("--score-substeps", type=int, default=2,
                     help="hypothesis-scoring integrator substeps (0 = the "
                          "host loop's one-step solver-integrator score)")
+    ap.add_argument("--seeds", type=int, nargs="+", default=None,
+                    help="device-loop estimator seeds to sweep per B>3 "
+                         "cell (outcomes are a distribution; extra seeds "
+                         "re-use the compiled rollout)")
     ap.add_argument("--save", default=None)
     args = ap.parse_args()
     if args.device_loop:
         main_device(tuple(args.batch_sizes), args.N, viz=args.viz,
                     control_dt=args.control_dt, dt=args.dt,
                     goal_timeout=args.goal_timeout,
-                    score_substeps=args.score_substeps, save=args.save)
+                    score_substeps=args.score_substeps, save=args.save,
+                    seeds=args.seeds)
     else:
         main(tuple(args.batch_sizes), args.N,
              goal_timeout=args.goal_timeout, dt=args.dt, viz=args.viz)

@@ -54,7 +54,7 @@ def test_pickplace_device_loop_smoke(tmp_path):
     save = str(tmp_path / "pp.json")
     res = pickplace.main_device(batch_sizes=(4,), N=8,
                                 goals=[[0.5, 0.0, 0.6]], goal_timeout=0.12,
-                                control_dt=0.01, save=save)
+                                control_dt=0.01, save=save, seeds=[0, 1])
     assert "4" in res
     assert all(o in ("reached", "timeout")
                for o in res["4"]["goal_outcomes"])
@@ -62,6 +62,10 @@ def test_pickplace_device_loop_smoke(tmp_path):
     with open(save) as f:
         rec = json.load(f)
     assert "N8_B4" in rec
+    # seeds sweep: per-seed rows + min/median/max aggregate recorded
+    sweep = rec["N8_B4_seed_sweep"]
+    assert sweep["seeds"] == [0, 1] and len(sweep["rows"]) == 2
+    assert sweep["min"] <= sweep["median"] <= sweep["max"]
 
 
 def test_hparam_batch_smoke():
